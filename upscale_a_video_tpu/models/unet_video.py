@@ -1,0 +1,210 @@
+"""The temporal video UNet (ref `/root/reference/models_video/unet_video.py:103-574`).
+
+TPU-first rebuild: channels-last (B, T, H, W, C), one flax module whose full
+forward jit-compiles into a single XLA program. Key semantic points carried
+over from the reference:
+
+- input = concat(noisy latent 4ch, noised LR frames 3ch) → 7ch (unet_video.py:440)
+- class embedding = noise-level embedding added to the timestep embedding
+  (unet_video.py:179-185,480-491)
+- a TemporalModule3D after every down/mid/up block (unet_video.py:499-564)
+- upsample-size forcing for inputs not divisible by 8 (unet_video.py:433-443)
+  is handled statically: shapes are known at trace time, so the forced sizes
+  are compile-time constants per input geometry.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import UNetVideoConfig
+from ..nn.blocks import InflatedConv, TimestepEmbedding
+from ..nn.temporal import TemporalModule3D
+from ..nn.unet_blocks import (
+    CrossAttnDownBlock3D,
+    CrossAttnUpBlock3D,
+    DownBlock3D,
+    UNetMidBlock3DCrossAttn,
+    UpBlock3D,
+)
+from ..ops.embeddings import get_timestep_embedding
+
+
+class UNetVideoModel(nn.Module):
+    config: UNetVideoConfig
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jax.Array,            # (B, T, H, W, 4) noisy latents
+        timestep,                      # scalar or (B,)
+        low_res: jax.Array,            # (B, T, H, W, 3) noised LR frames
+        encoder_hidden_states: jax.Array,  # (B, S_txt, C_txt)
+        class_labels,                  # noise level, scalar or (B,)
+    ) -> jax.Array:
+        cfg = self.config
+        dt = self.dtype
+
+        sample = jnp.concatenate([sample, low_res], axis=-1)
+        b = sample.shape[0]
+
+        # time + noise-level embedding
+        timesteps = jnp.broadcast_to(jnp.asarray(timestep).reshape(-1), (b,))
+        t_emb = get_timestep_embedding(
+            timesteps, cfg.block_out_channels[0], cfg.flip_sin_to_cos, cfg.freq_shift
+        )
+        if dt is not None:
+            t_emb = t_emb.astype(dt)
+        time_embed_dim = cfg.block_out_channels[0] * 4
+        emb = TimestepEmbedding(time_embed_dim, dtype=dt, param_dtype=self.param_dtype,
+                                name="time_embedding")(t_emb)
+
+        if cfg.num_class_embeds is not None:
+            labels = jnp.broadcast_to(jnp.asarray(class_labels).reshape(-1), (b,))
+            class_emb = nn.Embed(
+                cfg.num_class_embeds, time_embed_dim, dtype=dt,
+                param_dtype=self.param_dtype, name="class_embedding",
+            )(labels.astype(jnp.int32))
+            emb = emb + class_emb
+
+        ctx = encoder_hidden_states if dt is None else encoder_hidden_states.astype(dt)
+        if dt is not None:
+            sample = sample.astype(dt)
+
+        # conv_in
+        sample = InflatedConv(
+            cfg.block_out_channels[0], (3, 3), dtype=dt, param_dtype=self.param_dtype,
+            name="conv_in",
+        )(sample)
+
+        n_blocks = len(cfg.down_block_types)
+        temb_ch = time_embed_dim
+
+        # down
+        down_block_res_samples = (sample,)
+        output_channel = cfg.block_out_channels[0]
+        for i, block_type in enumerate(cfg.down_block_types):
+            input_channel = output_channel
+            output_channel = cfg.block_out_channels[i]
+            is_final = i == n_blocks - 1
+            if block_type == "CrossAttnDownBlock3D":
+                sample, res_samples = CrossAttnDownBlock3D(
+                    in_channels=input_channel, out_channels=output_channel,
+                    temb_channels=temb_ch, num_layers=cfg.layers_per_block,
+                    resnet_eps=cfg.norm_eps, resnet_act_fn=cfg.act_fn,
+                    resnet_groups=cfg.norm_num_groups,
+                    attn_num_head_channels=cfg.attention_head_dim,
+                    cross_attention_dim=cfg.cross_attention_dim,
+                    downsample_padding=cfg.downsample_padding,
+                    add_downsample=not is_final,
+                    use_linear_projection=cfg.use_linear_projection,
+                    only_cross_attention=cfg.only_cross_attention[i],
+                    dtype=dt, param_dtype=self.param_dtype, name=f"down_blocks_{i}",
+                )(sample, emb, ctx)
+            elif block_type == "DownBlock3D":
+                sample, res_samples = DownBlock3D(
+                    in_channels=input_channel, out_channels=output_channel,
+                    temb_channels=temb_ch, num_layers=cfg.layers_per_block,
+                    resnet_eps=cfg.norm_eps, resnet_act_fn=cfg.act_fn,
+                    resnet_groups=cfg.norm_num_groups,
+                    downsample_padding=cfg.downsample_padding,
+                    add_downsample=not is_final,
+                    dtype=dt, param_dtype=self.param_dtype, name=f"down_blocks_{i}",
+                )(sample, emb)
+            else:
+                raise ValueError(f"unknown down block {block_type}")
+            down_block_res_samples += res_samples
+
+            if i in cfg.down_temporal_idx:
+                sample = TemporalModule3D(
+                    in_channels=output_channel, temb_channels=temb_ch,
+                    groups=min(32, cfg.norm_num_groups),
+                    dtype=dt, param_dtype=self.param_dtype, name=f"down_temp_blocks_{i}",
+                )(sample, emb)
+
+        # mid
+        sample = UNetMidBlock3DCrossAttn(
+            in_channels=cfg.block_out_channels[-1], temb_channels=temb_ch,
+            resnet_eps=cfg.norm_eps, resnet_act_fn=cfg.act_fn,
+            resnet_groups=cfg.norm_num_groups,
+            attn_num_head_channels=cfg.attention_head_dim,
+            cross_attention_dim=cfg.cross_attention_dim,
+            use_linear_projection=cfg.use_linear_projection,
+            dtype=dt, param_dtype=self.param_dtype, name="mid_block",
+        )(sample, emb, ctx)
+        if cfg.mid_temporal:
+            sample = TemporalModule3D(
+                in_channels=cfg.block_out_channels[-1], temb_channels=temb_ch,
+                groups=min(32, cfg.norm_num_groups),
+                dtype=dt, param_dtype=self.param_dtype, name="mid_temp_block",
+            )(sample, emb)
+
+        # up
+        reversed_boc = list(reversed(cfg.block_out_channels))
+        only_cross = list(reversed(cfg.only_cross_attention))
+        output_channel = reversed_boc[0]
+        for i, block_type in enumerate(cfg.up_block_types):
+            is_final = i == n_blocks - 1
+            prev_output_channel = output_channel
+            output_channel = reversed_boc[i]
+            input_channel = reversed_boc[min(i + 1, n_blocks - 1)]
+            num_layers = cfg.layers_per_block + 1
+
+            res_samples = down_block_res_samples[-num_layers:]
+            down_block_res_samples = down_block_res_samples[:-num_layers]
+
+            # Forced upsample size when spatial dims aren't /8-divisible: the
+            # next skip connection's (H, W) (static at trace time;
+            # ref unet_video.py:541-542).
+            upsample_size = None
+            if not is_final and down_block_res_samples:
+                upsample_size = down_block_res_samples[-1].shape[2:4]
+
+            if block_type == "CrossAttnUpBlock3D":
+                sample = CrossAttnUpBlock3D(
+                    in_channels=input_channel, out_channels=output_channel,
+                    prev_output_channel=prev_output_channel, temb_channels=temb_ch,
+                    num_layers=num_layers, resnet_eps=cfg.norm_eps,
+                    resnet_act_fn=cfg.act_fn, resnet_groups=cfg.norm_num_groups,
+                    attn_num_head_channels=cfg.attention_head_dim,
+                    cross_attention_dim=cfg.cross_attention_dim,
+                    add_upsample=not is_final,
+                    use_linear_projection=cfg.use_linear_projection,
+                    only_cross_attention=only_cross[i],
+                    dtype=dt, param_dtype=self.param_dtype, name=f"up_blocks_{i}",
+                )(sample, res_samples, emb, ctx, upsample_size)
+            elif block_type == "UpBlock3D":
+                sample = UpBlock3D(
+                    in_channels=input_channel, out_channels=output_channel,
+                    prev_output_channel=prev_output_channel, temb_channels=temb_ch,
+                    num_layers=num_layers, resnet_eps=cfg.norm_eps,
+                    resnet_act_fn=cfg.act_fn, resnet_groups=cfg.norm_num_groups,
+                    add_upsample=not is_final,
+                    dtype=dt, param_dtype=self.param_dtype, name=f"up_blocks_{i}",
+                )(sample, res_samples, emb, upsample_size)
+            else:
+                raise ValueError(f"unknown up block {block_type}")
+
+            if i in cfg.up_temporal_idx:
+                sample = TemporalModule3D(
+                    in_channels=output_channel, temb_channels=temb_ch,
+                    groups=min(32, cfg.norm_num_groups),
+                    dtype=dt, param_dtype=self.param_dtype, name=f"up_temp_blocks_{i}",
+                )(sample, emb)
+
+        # out head
+        sample = nn.GroupNorm(
+            num_groups=cfg.norm_num_groups, epsilon=cfg.norm_eps, dtype=dt,
+            param_dtype=self.param_dtype, name="conv_norm_out",
+        )(sample)
+        sample = jax.nn.silu(sample)
+        sample = InflatedConv(
+            cfg.out_channels, (3, 3), dtype=dt, param_dtype=self.param_dtype, name="conv_out"
+        )(sample)
+        return sample

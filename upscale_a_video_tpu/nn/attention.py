@@ -1,0 +1,353 @@
+"""Attention modules: spatial/cross attention, temporal attention with RoPE +
+T5 relative-position bias, the per-block transformer, and the VAE's spatial
+attention block.
+
+Mirrors the semantics (not the structure) of
+`/root/reference/models_video/attention.py` and the vendored diffusers
+``AttentionBlock`` (diffusers_attention.py:249). All modules take channels-last
+tensors; token reshapes are pure ``reshape``/``transpose`` that XLA folds into
+the surrounding ops.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import attention
+from ..ops.relpos import relative_position_buckets
+from ..ops.rope import apply_rotary
+
+
+def _split_heads(x: jax.Array, heads: int) -> jax.Array:
+    """(B, S, H*D) -> (B, H, S, D)"""
+    b, s, hd = x.shape
+    return x.reshape(b, s, heads, hd // heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    """(B, H, S, D) -> (B, S, H*D)"""
+    b, h, s, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention with separate q and kv inputs
+    (ref attention.py:44-289; released config: no qkv bias, no group_norm,
+    upcast flags off)."""
+
+    query_dim: int
+    cross_attention_dim: Optional[int] = None
+    heads: int = 8
+    dim_head: int = 64
+    bias: bool = False
+    zero_init_out: bool = False
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jax.Array,
+        encoder_hidden_states: Optional[jax.Array] = None,
+        attention_bias: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        inner = self.heads * self.dim_head
+        kv = hidden_states if encoder_hidden_states is None else encoder_hidden_states
+
+        q = nn.Dense(inner, use_bias=self.bias, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="to_q")(hidden_states)
+        k = nn.Dense(inner, use_bias=self.bias, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="to_k")(kv)
+        v = nn.Dense(inner, use_bias=self.bias, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="to_v")(kv)
+
+        q = _split_heads(q, self.heads)
+        k = _split_heads(k, self.heads)
+        v = _split_heads(v, self.heads)
+
+        out = attention(q, k, v, scale=self.dim_head**-0.5, bias=attention_bias)
+        out = _merge_heads(out)
+
+        out_init = (
+            nn.initializers.zeros_init() if self.zero_init_out else nn.initializers.lecun_normal()
+        )
+        return nn.Dense(
+            self.query_dim, use_bias=True, kernel_init=out_init, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="to_out_0",
+        )(out)
+
+
+class TemporalAttention(nn.Module):
+    """Attention across frames, per pixel (ref attention.py:626-733).
+
+    Input is (B', T, C) with B' = batch × tokens. Adds (a) a T5-bucketed
+    relative-position bias (attention.py:641,645,715), (b) rotary embedding on
+    the first 32 channels of q/k (attention.py:709-711), (c) running-max
+    subtraction for stability (attention.py:722 — subsumed by the fp32 softmax
+    here but kept for exact logit parity). Output projection is zero-initialized
+    at init time (attention.py:490).
+    """
+
+    query_dim: int
+    heads: int = 8
+    dim_head: int = 64
+    rel_pos_num_buckets: int = 32
+    rel_pos_max_distance: int = 32
+    rope_dim: int = 32
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states: jax.Array) -> jax.Array:
+        inner = self.heads * self.dim_head
+        t = hidden_states.shape[1]
+
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="to_q")(hidden_states)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="to_k")(hidden_states)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="to_v")(hidden_states)
+
+        q = _split_heads(q, self.heads)  # (B', H, T, D)
+        k = _split_heads(k, self.heads)
+        v = _split_heads(v, self.heads)
+
+        # Reference order: q is pre-scaled BEFORE RoPE (attention.py:705);
+        # rotation is norm-preserving so scale placement is equivalent, but we
+        # match it exactly.
+        q = q * (self.dim_head**-0.5)
+        rot = min(self.rope_dim, self.dim_head)
+        q = apply_rotary(q, rot_dim=rot)
+        k = apply_rotary(k, rot_dim=rot)
+
+        # T5 relative position bias: static (T, T) bucket table → (H, T, T) bias.
+        buckets = relative_position_buckets(
+            t, self.rel_pos_num_buckets, self.rel_pos_max_distance
+        )  # np (T, T)
+        bias_table = self.param(
+            "relative_attention_bias",
+            nn.initializers.normal(stddev=1.0),
+            (self.rel_pos_num_buckets, self.heads),
+            self.param_dtype,
+        )
+        bias = bias_table[jnp.asarray(buckets)]  # (T, T, H)
+        bias = bias.transpose(2, 0, 1)[None]  # (1, H, T, T)
+
+        out = attention(q, k, v, scale=1.0, bias=bias, subtract_max=True)
+        out = _merge_heads(out)
+
+        return nn.Dense(
+            self.query_dim, use_bias=True, kernel_init=nn.initializers.zeros_init(),
+            dtype=self.dtype, param_dtype=self.param_dtype, name="to_out_0",
+        )(out)
+
+
+class GEGLU(nn.Module):
+    dim_out: int
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = nn.Dense(self.dim_out * 2, dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        return h * jax.nn.gelu(gate)
+
+
+class FeedForward(nn.Module):
+    """GEGLU MLP, mult=4 (diffusers FeedForward as used at attention.py:493)."""
+
+    dim: int
+    mult: int = 4
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = GEGLU(self.dim * self.mult, dtype=self.dtype, param_dtype=self.param_dtype,
+                  name="net_0")(x)
+        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="net_2")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    """attn1 (self or text-cross) → attn2 (text cross) → temporal attention →
+    GEGLU FF (ref attention.py:414-564).
+
+    Inputs: ``hidden_states`` (B*T, S, C) per-frame tokens; ``context``
+    (B*T, S_txt, C_txt); ``video_length`` T for the temporal reshape.
+    """
+
+    dim: int
+    heads: int
+    dim_head: int
+    cross_attention_dim: Optional[int] = None
+    only_cross_attention: bool = False
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jax.Array,
+        context: Optional[jax.Array],
+        video_length: int,
+    ) -> jax.Array:
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                       param_dtype=self.param_dtype, name=name)
+
+        # attn1: text-cross when only_cross_attention (3 of 4 levels in the
+        # released config), otherwise spatial self-attention per frame.
+        h = ln("norm1")(hidden_states)
+        attn1 = CrossAttention(
+            query_dim=self.dim,
+            cross_attention_dim=self.cross_attention_dim if self.only_cross_attention else None,
+            heads=self.heads, dim_head=self.dim_head,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="attn1",
+        )
+        hidden_states = attn1(h, context if self.only_cross_attention else None) + hidden_states
+
+        # attn2: text cross-attention
+        if self.cross_attention_dim is not None:
+            h = ln("norm2")(hidden_states)
+            hidden_states = CrossAttention(
+                query_dim=self.dim, cross_attention_dim=self.cross_attention_dim,
+                heads=self.heads, dim_head=self.dim_head,
+                dtype=self.dtype, param_dtype=self.param_dtype, name="attn2",
+            )(h, context) + hidden_states
+
+        # temporal attention: (B*T, S, C) -> (B*S, T, C) (ref attention.py:553-560)
+        bt, s, c = hidden_states.shape
+        b = bt // video_length
+        x = hidden_states.reshape(b, video_length, s, c).transpose(0, 2, 1, 3)
+        x = x.reshape(b * s, video_length, c)
+        h = ln("norm_temporal")(x)
+        x = TemporalAttention(
+            query_dim=self.dim, heads=self.heads, dim_head=self.dim_head,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="attn_temporal",
+        )(h) + x
+        x = x.reshape(b, s, video_length, c).transpose(0, 2, 1, 3)
+        hidden_states = x.reshape(bt, s, c)
+
+        # feed-forward
+        h = ln("norm3")(hidden_states)
+        hidden_states = FeedForward(
+            self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="ff"
+        )(h) + hidden_states
+        return hidden_states
+
+
+class Transformer3DModel(nn.Module):
+    """Per-level spatial transformer, extended for VSR with a leading (3,1,1)
+    temporal resblock (ref attention.py:292-411).
+
+    Input/output: (B, T, H, W, C) video tensor. ``context``: (B, S_txt, C_txt).
+    """
+
+    heads: int
+    dim_head: int
+    in_channels: int
+    num_layers: int = 1
+    cross_attention_dim: Optional[int] = None
+    norm_num_groups: int = 32
+    use_linear_projection: bool = True
+    only_cross_attention: bool = False
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: Optional[jax.Array]) -> jax.Array:
+        from .blocks import ResnetBlock3DCNN  # local import to avoid cycle
+
+        b, t, hh, ww, c = x.shape
+        inner = self.heads * self.dim_head
+
+        # 3D CNN for VSR (ref attention.py:323,368-371)
+        x = ResnetBlock3DCNN(
+            in_channels=self.in_channels, temporal_kernel=(3, 1, 1), temb_channels=None,
+            groups=min(32, self.norm_num_groups), groups_out=min(32, self.norm_num_groups),
+            dtype=self.dtype, param_dtype=self.param_dtype, name="resblock_temporal",
+        )(x)
+
+        residual = x
+        # per-frame GroupNorm (stats exclude T: ref normalizes (b f) c h w,
+        # attention.py:363,374)
+        flat = x.reshape(b * t, hh, ww, c)
+        h = nn.GroupNorm(
+            num_groups=self.norm_num_groups, epsilon=1e-6, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="norm",
+        )(flat)
+        tokens = h.reshape(b * t, hh * ww, c)
+        if self.use_linear_projection:
+            tokens = nn.Dense(inner, dtype=self.dtype, param_dtype=self.param_dtype,
+                              name="proj_in")(tokens)
+        else:
+            tokens = nn.Dense(inner, dtype=self.dtype, param_dtype=self.param_dtype,
+                              name="proj_in")(tokens)  # 1x1 conv == dense on tokens
+
+        ctx = None
+        if context is not None:
+            # repeat per frame: (B, S, C) -> (B*T, S, C)
+            ctx = jnp.repeat(context, t, axis=0)
+
+        for i in range(self.num_layers):
+            tokens = BasicTransformerBlock(
+                dim=inner, heads=self.heads, dim_head=self.dim_head,
+                cross_attention_dim=self.cross_attention_dim,
+                only_cross_attention=self.only_cross_attention,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"transformer_blocks_{i}",
+            )(tokens, ctx, video_length=t)
+
+        tokens = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
+                          name="proj_out")(tokens)
+        out = tokens.reshape(b, t, hh, ww, c)
+        return out + residual
+
+
+class SpatialAttentionBlock(nn.Module):
+    """Per-frame single-head spatial self-attention used in the VAE mid block
+    (vendored diffusers AttentionBlock, diffusers_attention.py:249; applied
+    per frame at unet_blocks.py:736-742).
+
+    Input/output: (B, T, H, W, C).
+    """
+
+    channels: int
+    num_head_channels: Optional[int] = None
+    norm_num_groups: int = 32
+    eps: float = 1e-6
+    rescale_output_factor: float = 1.0
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, t, hh, ww, c = x.shape
+        heads = c // self.num_head_channels if self.num_head_channels is not None else 1
+
+        flat = x.reshape(b * t, hh, ww, c)
+        h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=self.eps, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="group_norm")(flat)
+        tokens = h.reshape(b * t, hh * ww, c)
+
+        q = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name="query")(tokens)
+        k = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name="key")(tokens)
+        v = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name="value")(tokens)
+
+        q = _split_heads(q, heads)
+        k = _split_heads(k, heads)
+        v = _split_heads(v, heads)
+        out = attention(q, k, v, scale=1.0 / np.sqrt(c / heads))
+        out = _merge_heads(out)
+
+        out = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_attn")(out)
+        out = out.reshape(b, t, hh, ww, c)
+        return (out + x.reshape(b, t, hh, ww, c)) / self.rescale_output_factor

@@ -1,0 +1,405 @@
+"""Core NN building blocks, channels-last ``(B, T, H, W, C)``.
+
+Semantics mirror the reference primitives in
+`/root/reference/models_video/resnet.py`, redesigned for TPU/XLA:
+
+- The reference's ``InflatedConv3d`` (resnet.py:94-101) reshapes
+  ``b c t h w -> (b t) c h w`` around an NCHW Conv2d. Here video tensors are
+  already channels-last, so :class:`InflatedConv` is a single 2-D convolution
+  with T folded into the batch — XLA maps it straight onto the MXU with no
+  layout transposes.
+- True temporal 3-D convs (kernels ``(k,1,1)`` / ``(3,3,3)``,
+  resnet.py:332,348,461) become NDHWC ``lax.conv_general_dilated`` calls.
+- GroupNorm over ``(C/g, T, H, W)`` per sample (torch 5-D GroupNorm semantics)
+  is flax ``GroupNorm`` on the channels-last tensor.
+
+Parameter naming follows the reference state-dict structure (conv1, norm1,
+time_emb_proj, ...) so checkpoint conversion is a mechanical name map +
+OIHW→HWIO transpose.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+default_kernel_init = nn.initializers.lecun_normal()
+
+
+def _merge_bt(x: jax.Array) -> Tuple[jax.Array, int]:
+    b, t = x.shape[0], x.shape[1]
+    return x.reshape(b * t, *x.shape[2:]), t
+
+
+def _split_bt(x: jax.Array, t: int) -> jax.Array:
+    return x.reshape(x.shape[0] // t, t, *x.shape[1:])
+
+
+def mish(x: jax.Array) -> jax.Array:
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+def get_activation(name: str) -> Callable[[jax.Array], jax.Array]:
+    if name in ("swish", "silu"):
+        return jax.nn.silu
+    if name == "mish":
+        return mish
+    if name == "gelu":
+        return jax.nn.gelu
+    raise ValueError(f"unknown activation {name!r}")
+
+
+class InflatedConv(nn.Module):
+    """Per-frame 2-D convolution on (B, T, H, W, C) video tensors.
+
+    Equivalent to the reference InflatedConv3d (resnet.py:94-101).
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: object = "SAME"
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        assert x.ndim == 5, f"expected (B,T,H,W,C), got {x.shape}"
+        flat, t = _merge_bt(x)
+        out = nn.Conv(
+            self.features,
+            self.kernel_size,
+            strides=self.strides,
+            padding=self.padding,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv",
+        )(flat)
+        return _split_bt(out, t)
+
+
+class TemporalConv(nn.Module):
+    """True 3-D convolution over (T, H, W) on channels-last video tensors.
+
+    Used for the reference's nn.Conv3d with kernels (k,1,1)/(3,3,3)
+    (resnet.py:332,348,461).
+    """
+
+    features: int
+    kernel_size: Tuple[int, int, int] = (3, 1, 1)
+    use_bias: bool = True
+    kernel_init: Callable = default_kernel_init
+    bias_init: Callable = nn.initializers.zeros_init()
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        assert x.ndim == 5
+        pad = tuple(((k - 1) // 2, (k - 1) // 2) for k in self.kernel_size)
+        return nn.Conv(
+            self.features,
+            self.kernel_size,
+            padding=pad,
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            bias_init=self.bias_init,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv",
+        )(x)
+
+
+class Upsample3D(nn.Module):
+    """Nearest ×2 spatial upsample + 3×3 conv (ref resnet.py:104-158).
+
+    ``output_size`` (H, W) overrides the ×2 factor, matching the reference's
+    upsample-size forcing for non-/8-divisible inputs (unet_video.py:433-443).
+    bf16 is fine on TPU — the reference's fp32 cast (resnet.py:132-135) was a
+    CUDA kernel limitation we drop.
+    """
+
+    channels: int
+    use_conv: bool = True
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, output_size: Optional[Tuple[int, int]] = None) -> jax.Array:
+        b, t, h, w, c = x.shape
+        if output_size is None:
+            nh, nw = h * 2, w * 2
+        else:
+            nh, nw = output_size
+        # nearest-neighbor: exact match to F.interpolate(mode="nearest")
+        rows = (jnp.arange(nh) * h // nh).astype(jnp.int32)
+        cols = (jnp.arange(nw) * w // nw).astype(jnp.int32)
+        x = x[:, :, rows][:, :, :, cols]
+        if self.use_conv:
+            x = InflatedConv(
+                self.channels, (3, 3), dtype=self.dtype, param_dtype=self.param_dtype, name="conv"
+            )(x)
+        return x
+
+
+class Downsample3D(nn.Module):
+    """Stride-2 3×3 conv downsample (ref resnet.py:161-197).
+
+    ``padding=1`` → symmetric SAME-like pad; ``padding=0`` → asymmetric
+    (0,1,0,1) pad, as used by the VAE encoder (downsample_padding=0).
+    """
+
+    channels: int
+    use_conv: bool = True
+    padding: int = 1
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.use_conv:
+            if self.padding == 0:
+                pad = ((0, 1), (0, 1))
+            else:
+                pad = ((self.padding, self.padding), (self.padding, self.padding))
+            return InflatedConv(
+                self.channels,
+                (3, 3),
+                strides=(2, 2),
+                padding=pad,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="conv",
+            )(x)
+        # avg-pool path (unused in released configs)
+        flat, t = _merge_bt(x)
+        out = nn.avg_pool(flat, (2, 2), strides=(2, 2))
+        return _split_bt(out, t)
+
+
+class TimestepEmbedding(nn.Module):
+    """2-layer MLP on the sinusoidal timestep features (diffusers TimestepEmbedding,
+    ref unet_video.py:176)."""
+
+    time_embed_dim: int
+    act: str = "silu"
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sample: jax.Array) -> jax.Array:
+        sample = nn.Dense(
+            self.time_embed_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="linear_1"
+        )(sample)
+        sample = get_activation(self.act)(sample)
+        sample = nn.Dense(
+            self.time_embed_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="linear_2"
+        )(sample)
+        return sample
+
+
+class _ResnetCore(nn.Module):
+    """Shared GN-act-conv ×2 + temb + shortcut skeleton of the three resblock
+    variants (ref resnet.py:200-294,297-393,396-499). The conv constructor is
+    parameterized so ResnetBlock3D uses inflated 2-D convs while
+    ResnetBlock3DCNN uses temporal 3-D convs."""
+
+    in_channels: int
+    out_channels: Optional[int] = None
+    temb_channels: Optional[int] = 512
+    groups: int = 32
+    groups_out: Optional[int] = None
+    eps: float = 1e-6
+    non_linearity: str = "swish"
+    time_embedding_norm: str = "default"
+    output_scale_factor: float = 1.0
+    use_in_shortcut: Optional[bool] = None
+    conv_kind: str = "inflated"  # "inflated" | "temporal"
+    temporal_kernel: Tuple[int, int, int] = (3, 1, 1)
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    def _conv(self, features: int, name: str, first: bool):
+        if self.conv_kind == "inflated":
+            return InflatedConv(
+                features, (3, 3), dtype=self.dtype, param_dtype=self.param_dtype, name=name
+            )
+        # 3DCNN variant: conv1 uses the configured kernel, conv2 is (3,1,1)
+        kernel = self.temporal_kernel if first else (3, 1, 1)
+        return TemporalConv(
+            features, kernel, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+        )
+
+    def _shortcut(self, features: int, name: str):
+        if self.conv_kind == "inflated":
+            return InflatedConv(
+                features, (1, 1), dtype=self.dtype, param_dtype=self.param_dtype, name=name
+            )
+        return TemporalConv(
+            features, (1, 1, 1), dtype=self.dtype, param_dtype=self.param_dtype, name=name
+        )
+
+    @nn.compact
+    def __call__(self, x: jax.Array, temb: Optional[jax.Array] = None) -> jax.Array:
+        out_ch = self.out_channels or self.in_channels
+        groups_out = self.groups_out or self.groups
+        act = get_activation(self.non_linearity)
+
+        h = nn.GroupNorm(
+            num_groups=self.groups, epsilon=self.eps, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="norm1",
+        )(x)
+        h = act(h)
+        h = self._conv(out_ch, "conv1", first=True)(h)
+
+        temb_proj = None
+        if temb is not None and self.temb_channels is not None:
+            proj_out = out_ch * 2 if self.time_embedding_norm == "scale_shift" else out_ch
+            temb_proj = nn.Dense(
+                proj_out, dtype=self.dtype, param_dtype=self.param_dtype, name="time_emb_proj"
+            )(act(temb))
+            temb_proj = temb_proj[:, None, None, None, :]  # (B,1,1,1,C)
+
+        if temb_proj is not None and self.time_embedding_norm == "default":
+            h = h + temb_proj
+
+        h = nn.GroupNorm(
+            num_groups=groups_out, epsilon=self.eps, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="norm2",
+        )(h)
+
+        if temb_proj is not None and self.time_embedding_norm == "scale_shift":
+            scale, shift = jnp.split(temb_proj, 2, axis=-1)
+            h = h * (1 + scale) + shift
+
+        h = act(h)
+        h = self._conv(out_ch, "conv2", first=False)(h)
+
+        use_sc = (
+            self.in_channels != out_ch if self.use_in_shortcut is None else self.use_in_shortcut
+        )
+        if use_sc:
+            x = self._shortcut(out_ch, "conv_shortcut")(x)
+
+        return (x + h) / self.output_scale_factor
+
+
+class ResnetBlock3D(_ResnetCore):
+    """Spatial resblock with inflated 2-D convs (ref resnet.py:200-294)."""
+
+    conv_kind: str = "inflated"
+
+
+class ResnetBlock3DCNN(_ResnetCore):
+    """Temporal resblock with true 3-D convs, kernel (k,1,1)
+    (ref resnet.py:297-393)."""
+
+    conv_kind: str = "temporal"
+
+
+class ResnetBlock3DPlus(nn.Module):
+    """ResnetBlock3D + zero-initialized 3×3×3 Conv3d residual branch
+    (ref resnet.py:396-499). Used by the video VAE decoder blocks."""
+
+    in_channels: int
+    out_channels: Optional[int] = None
+    temb_channels: Optional[int] = 512
+    groups: int = 32
+    groups_out: Optional[int] = None
+    eps: float = 1e-6
+    non_linearity: str = "swish"
+    time_embedding_norm: str = "default"
+    output_scale_factor: float = 1.0
+    use_in_shortcut: Optional[bool] = None
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, temb: Optional[jax.Array] = None) -> jax.Array:
+        out_ch = self.out_channels or self.in_channels
+        groups_out = self.groups_out or self.groups
+        act = get_activation(self.non_linearity)
+
+        out = _ResnetCore(
+            in_channels=self.in_channels,
+            out_channels=self.out_channels,
+            temb_channels=self.temb_channels,
+            groups=self.groups,
+            groups_out=self.groups_out,
+            eps=self.eps,
+            non_linearity=self.non_linearity,
+            time_embedding_norm=self.time_embedding_norm,
+            output_scale_factor=self.output_scale_factor,
+            use_in_shortcut=self.use_in_shortcut,
+            conv_kind="inflated",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="base",
+        )(x, temb)
+
+        h3 = nn.GroupNorm(
+            num_groups=groups_out, epsilon=self.eps, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="norm_3d",
+        )(out)
+        h3 = act(h3)
+        h3 = TemporalConv(
+            out_ch,
+            (3, 3, 3),
+            kernel_init=nn.initializers.zeros_init(),
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv_3d",
+        )(h3)
+        return (out + h3) / self.output_scale_factor
+
+
+class FuseSFTBlock(nn.Module):
+    """SFT (scale/shift) fusion of the LR-condition features into decoder
+    features (ref resnet.py:63-79): two shared resblocks on concat(enc, dec),
+    then learned scale & shift applied to dec with weight ``w``."""
+
+    enc_channels: int
+    dec_channels: int
+    groups: int = 32
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, enc_feat: jax.Array, dec_feat: jax.Array, w: float = 1.0) -> jax.Array:
+        h = jnp.concatenate([enc_feat, dec_feat], axis=-1)
+        h = ResnetBlock3D(
+            in_channels=self.enc_channels + self.dec_channels,
+            out_channels=self.dec_channels,
+            temb_channels=None,
+            groups=self.groups,
+            groups_out=self.groups,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="shared_0",
+        )(h)
+        h = ResnetBlock3D(
+            in_channels=self.dec_channels,
+            out_channels=self.dec_channels,
+            temb_channels=None,
+            groups=self.groups,
+            groups_out=self.groups,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="shared_1",
+        )(h)
+        scale = InflatedConv(
+            self.dec_channels, (3, 3), dtype=self.dtype, param_dtype=self.param_dtype, name="scale"
+        )(h)
+        shift = InflatedConv(
+            self.dec_channels, (3, 3), dtype=self.dtype, param_dtype=self.param_dtype, name="shift"
+        )(h)
+        return dec_feat + w * (dec_feat * scale + shift)
+
+
+def zero_init_conv_kwargs():
+    return dict(kernel_init=nn.initializers.zeros_init(), bias_init=nn.initializers.zeros_init())

@@ -1,0 +1,296 @@
+"""VideoUpscalePipeline — the sampling orchestrator.
+
+TPU-native rebuild of the reference pipeline
+(`/root/reference/models_video/pipeline_upscale_a_video.py:61-717`). The
+algorithm is identical (SURVEY §2.2); the execution model is not:
+
+- The entire denoise loop is ONE jitted function: ``lax.scan`` over timesteps,
+  with the temporal sliding windows gathered into a batch and executed by
+  ``lax.map`` over window groups (compiled once), then recombined with a
+  precomputed scatter-weight matrix that reproduces the reference's sequential
+  0.5/0.5 overlap averaging exactly (see pipeline/windows.py).
+- Flow-guided propagation runs inside the scan under ``lax.cond``, gated by a
+  static per-step boolean mask (the `-p` list).
+- Chunked VAE decode is a scanned jitted function (3-frame chunks,
+  ref :685-700), fp32 by default as the reference forces (:666-681).
+- All randomness comes from explicit threefry keys (seed-stable across runs
+  and shardings), replacing torch generators.
+
+Data layout: video tensors are channels-last (B, T, H, W, C) in [-1, 1].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import UNetVideoConfig, VaeConfig
+from ..models.clip_text import CLIPTextConfig, CLIPTextModel
+from ..models.propagation import propagate_latents
+from ..models.unet_video import UNetVideoModel
+from ..models.vae import AutoencoderKLVideo
+from ..sampling import DDIMScheduler, DDPMScheduler
+from .windows import chunk_starts, window_blend_matrix, window_starts
+
+
+@dataclasses.dataclass
+class PipelineModules:
+    """Models + params bundle. ``tokenizer`` is any callable mapping
+    List[str] -> int32 (B, 77) input ids (HF CLIPTokenizer works)."""
+
+    unet: UNetVideoModel
+    unet_params: Any
+    vae: AutoencoderKLVideo
+    vae_params: Any
+    text_encoder: CLIPTextModel
+    text_params: Any
+    tokenizer: Any
+    scheduler: DDIMScheduler
+    low_res_scheduler: DDPMScheduler
+
+
+class VideoUpscalePipeline:
+    MAX_NOISE_LEVEL = 350  # ref pipeline_upscale_a_video.py:102
+
+    def __init__(
+        self,
+        modules: PipelineModules,
+        dtype=jnp.bfloat16,
+        decode_dtype=jnp.float32,
+        unet_window: int = 8,
+        unet_stride: int = 6,
+        decode_chunk: int = 3,
+        window_group: int = 0,  # 0 = all windows in one batched UNet call
+    ):
+        self.m = modules
+        self.dtype = dtype
+        self.decode_dtype = decode_dtype
+        self.unet_window = unet_window
+        self.unet_stride = unet_stride
+        self.decode_chunk = decode_chunk
+        self.window_group = window_group
+        self._denoise_cache = {}
+        self._decode_cache = {}
+        self._encode_text = jax.jit(
+            lambda ids: self.m.text_encoder.apply(self.m.text_params, ids)
+        )
+
+    # ----------------------------------------------------------- text
+
+    def encode_prompt(
+        self,
+        prompt: Sequence[str],
+        negative_prompt: Optional[Sequence[str]],
+        do_cfg: bool,
+    ) -> jax.Array:
+        """CLIP-encode prompts; CFG concat [uncond, cond]
+        (ref :177-321, order fixed at :314-321)."""
+        ids = jnp.asarray(self.m.tokenizer(list(prompt)))
+        cond = self._encode_text(ids)
+        if not do_cfg:
+            return cond
+        neg = negative_prompt if negative_prompt is not None else [""] * len(prompt)
+        nids = jnp.asarray(self.m.tokenizer(list(neg)))
+        uncond = self._encode_text(nids)
+        return jnp.concatenate([uncond, cond], axis=0)
+
+    # -------------------------------------------------------- denoise
+
+    def _build_denoise(
+        self,
+        shape: Tuple[int, int, int, int],
+        num_inference_steps: int,
+        do_cfg: bool,
+        guidance_scale: float,
+        prop_mask: Tuple[bool, ...],
+        has_flows: bool,
+    ):
+        """Compile one denoise program for a (B, T, H, W) geometry."""
+        b, t, h, w = shape
+        win = min(self.unet_window, t)
+        starts = np.asarray(window_starts(t, self.unet_window, self.unet_stride))
+        blend = jnp.asarray(window_blend_matrix(t, self.unet_window, self.unet_stride))
+        n_win = len(starts)
+        # (N, win) absolute frame indices per window
+        win_idx = jnp.asarray(starts[:, None] + np.arange(win)[None, :])
+        timesteps = jnp.asarray(self.m.scheduler.timesteps(num_inference_steps))
+        prop_flags = jnp.asarray(np.asarray(prop_mask, dtype=bool))
+        sched = self.m.scheduler
+        unet = self.m.unet
+        unet_params = self.m.unet_params
+        group = self.window_group if self.window_group > 0 else n_win
+
+        def unet_on_windows(latent_in, image_in, tstep, prompt_embeds, denoise_level):
+            """latent_in/image_in: (Bc, T, H, W, C) → noise pred (Bc, T, H, W, 4)."""
+            bc = latent_in.shape[0]
+            # gather windows: (Bc, N, win, H, W, C) → (N, Bc, win, H, W, C)
+            lat_w = jnp.moveaxis(latent_in[:, win_idx], 0, 1)
+            img_w = jnp.moveaxis(image_in[:, win_idx], 0, 1)
+
+            def run_group(pair):
+                lw, iw = pair  # (G, Bc, win, H, W, C)
+                g = lw.shape[0]
+                lw = lw.reshape(g * bc, win, h, w, lw.shape[-1])
+                iw = iw.reshape(g * bc, win, h, w, iw.shape[-1])
+                emb = jnp.tile(prompt_embeds, (g, 1, 1))
+                lvl = jnp.tile(denoise_level, (g,))
+                out = unet.apply(unet_params, lw, tstep, iw, emb, lvl)
+                return out.reshape(g, bc, win, h, w, out.shape[-1])
+
+            if n_win % group == 0 and n_win > group:
+                lat_g = lat_w.reshape(n_win // group, group, *lat_w.shape[1:])
+                img_g = img_w.reshape(n_win // group, group, *img_w.shape[1:])
+                preds = jax.lax.map(run_group, (lat_g, img_g))
+                preds = preds.reshape(n_win, bc, win, h, w, -1)
+            else:
+                preds = run_group((lat_w, img_w))
+            # recombine with the overlap-average weights:
+            # out[b, t] = Σ_{n,k} blend[n,k,t] · preds[n,b,k]
+            return jnp.einsum("nkt,nbkhwc->bthwc", blend, preds)
+
+        def denoise(latents, image_noised, prompt_embeds, denoise_level,
+                    flows_f, flows_b):
+            def body(lat, step_in):
+                tstep, do_prop = step_in
+                latent_in = jnp.concatenate([lat, lat]) if do_cfg else lat
+                noise_pred = unet_on_windows(
+                    latent_in.astype(self.dtype), image_noised, tstep,
+                    prompt_embeds, denoise_level,
+                )
+                noise_pred = noise_pred.astype(jnp.float32)
+                if do_cfg:
+                    uncond, cond = jnp.split(noise_pred, 2, axis=0)
+                    noise_pred = uncond + guidance_scale * (cond - uncond)
+                x0 = sched.step_v0(noise_pred, tstep, lat)
+                if has_flows:
+                    x0 = jax.lax.cond(
+                        do_prop,
+                        lambda v: propagate_latents(v, flows_f, flows_b),
+                        lambda v: v,
+                        x0,
+                    )
+                lat = sched.step_vt(x0, noise_pred, tstep, lat, num_inference_steps)
+                return lat, ()
+
+            latents, _ = jax.lax.scan(body, latents, (timesteps, prop_flags))
+            return latents
+
+        return jax.jit(denoise)
+
+    # --------------------------------------------------------- decode
+
+    def _build_decode(self, chunk_frames: int, w_lr: float):
+        vae = self.m.vae
+        vae_params = self.m.vae_params
+        scaling = self.m.vae.config.scaling_factor
+        cond = self.m.vae.config.condition_img
+        ddt = self.decode_dtype
+
+        def decode(latents, image_dec):
+            z = (latents / scaling).astype(ddt)
+            img = image_dec.astype(ddt) if cond else None
+            out = vae.apply(
+                vae_params, z, method=vae.decode,
+                img=img, w_lr=w_lr,
+            )
+            return jnp.clip(out, -1.0, 1.0)  # ref decode_latents_vsr :350-354
+
+        return jax.jit(decode)
+
+    def decode_latents(self, latents: jax.Array, image_dec: jax.Array,
+                       w_lr: float = 1.0) -> jax.Array:
+        """Chunked conditional decode (ref :683-702)."""
+        t = latents.shape[1]
+        outs = []
+        for (s, e) in chunk_starts(t, self.decode_chunk):
+            key = (e - s, float(w_lr))
+            if key not in self._decode_cache:
+                self._decode_cache[key] = self._build_decode(e - s, w_lr)
+            outs.append(self._decode_cache[key](latents[:, s:e], image_dec[:, s:e]))
+        return jnp.concatenate(outs, axis=1)
+
+    # --------------------------------------------------------- __call__
+
+    def __call__(
+        self,
+        prompt,
+        image: jax.Array,                     # (B, T, H, W, 3) in [-1, 1]
+        flows_bi: Optional[Tuple[jax.Array, jax.Array]] = None,
+        num_inference_steps: int = 30,
+        guidance_scale: float = 6.0,
+        noise_level: int = 120,
+        negative_prompt=None,
+        propagation_steps: Sequence[int] = (),
+        key: Optional[jax.Array] = None,
+        latents: Optional[jax.Array] = None,
+        w_lr: float = 1.0,
+        return_latents: bool = False,
+    ):
+        """Mirror of the reference __call__ (ref :436-717). Returns images
+        (B, T, 4H, 4W, 3) in [-1, 1]."""
+        if noise_level > self.MAX_NOISE_LEVEL:
+            raise ValueError(f"noise_level {noise_level} > {self.MAX_NOISE_LEVEL}")
+        if isinstance(prompt, str):
+            prompt = [prompt]
+        if isinstance(negative_prompt, str):
+            negative_prompt = [negative_prompt]
+        if key is None:
+            key = jax.random.PRNGKey(10)  # driver's fixed seed (ref :197)
+
+        b, t, h, w, _ = image.shape
+        do_cfg = guidance_scale > 1.0
+
+        prompt_embeds = self.encode_prompt(prompt, negative_prompt, do_cfg)
+
+        image_dec = image.astype(jnp.float32)  # fp32 copy for the decoder (ref :542)
+        image = image.astype(self.dtype)
+
+        # noise the LR input at `noise_level` (ref :545-551)
+        key, nkey, lkey = jax.random.split(key, 3)
+        noise = jax.random.normal(nkey, image.shape, jnp.float32)
+        noised = self.m.low_res_scheduler.add_noise(
+            image.astype(jnp.float32), noise, jnp.full((b,), noise_level)
+        ).astype(self.dtype)
+        batch_mult = 2 if do_cfg else 1
+        image_noised = jnp.concatenate([noised] * batch_mult, axis=0)
+        denoise_level = jnp.full((batch_mult * b,), noise_level, dtype=jnp.int32)
+
+        # init latents at LR spatial size (ref prepare_latents_3d :421-432)
+        latent_ch = self.m.vae.config.latent_channels
+        if latents is None:
+            latents = jax.random.normal(lkey, (b, t, h, w, latent_ch), jnp.float32)
+        latents = latents * self.m.scheduler.init_noise_sigma
+
+        prop_mask = tuple(
+            i in set(propagation_steps) for i in range(num_inference_steps)
+        )
+        has_flows = flows_bi is not None and any(prop_mask)
+        if has_flows:
+            flows_f, flows_b = flows_bi
+        else:
+            # dummy, never read (lax.cond still requires consistent args)
+            flows_f = jnp.zeros((b, max(t - 1, 1), 1, 1, 2), jnp.float32)
+            flows_b = flows_f
+
+        cache_key = (
+            (b, t, h, w), num_inference_steps, do_cfg, float(guidance_scale),
+            prop_mask if has_flows else (False,) * num_inference_steps, has_flows,
+        )
+        if cache_key not in self._denoise_cache:
+            self._denoise_cache[cache_key] = self._build_denoise(
+                (b, t, h, w), num_inference_steps, do_cfg, float(guidance_scale),
+                prop_mask if has_flows else (False,) * num_inference_steps, has_flows,
+            )
+        latents = self._denoise_cache[cache_key](
+            latents, image_noised, prompt_embeds, denoise_level, flows_f, flows_b
+        )
+
+        images = self.decode_latents(latents, image_dec, w_lr)
+        if return_latents:
+            return images, latents
+        return images
