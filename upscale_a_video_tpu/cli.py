@@ -1,0 +1,194 @@
+"""Command-line driver, argv-compatible with the reference
+(`/root/reference/inference_upscale_a_video.py:64-90`).
+
+    python -m upscale_a_video_tpu.cli -i input.mp4 -o results \\
+        -n 120 -g 6 -s 30 -p 24,26,28 --use_video_vae --color_fix Wavelet
+
+Differences from the reference driver, by design:
+- runs on TPU via JAX; no CUDA device juggling (the captioner is a pluggable
+  backend instead of a second GPU)
+- deterministic threefry seed (--seed, default 10 as the reference's
+  fixed generator seed at :197)
+- tiles/chunks execute as jitted programs (one compile per tile geometry)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import List, Optional
+
+import numpy as np
+
+
+def str_to_list(s: str) -> List[int]:
+    return [int(x) for x in s.split(",")] if s else []
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("upscale-a-video-tpu")
+    p.add_argument("-i", "--input_path", type=str, default="./inputs")
+    p.add_argument("-o", "--output_path", type=str, default="./results")
+    p.add_argument("-n", "--noise_level", type=int, default=120)
+    p.add_argument("-g", "--guidance_scale", type=float, default=6)
+    p.add_argument("-s", "--inference_steps", type=int, default=30)
+    p.add_argument("-p", "--propagation_steps", type=str_to_list, default=[])
+    p.add_argument("--a_prompt", type=str, default="best quality, extremely detailed")
+    p.add_argument("--n_prompt", type=str, default="blur, worst quality")
+    p.add_argument("--use_video_vae", action="store_true", default=False)
+    p.add_argument("--color_fix", type=str, default="None",
+                   choices=["None", "AdaIn", "Wavelet"])
+    p.add_argument("--no_llava", action="store_true", default=False)
+    p.add_argument("--load_8bit_llava", action="store_true", default=False)
+    p.add_argument("--perform_tile", action="store_true", default=False)
+    p.add_argument("--tile_size", type=int, default=256)
+    p.add_argument("--save_image", action="store_true", default=False)
+    p.add_argument("--save_suffix", type=str, default="")
+    # TPU-specific additions
+    p.add_argument("--model_dir", type=str,
+                   default="./pretrained_models/upscale_a_video")
+    p.add_argument("--random_weights", action="store_true", default=False,
+                   help="random-init models (smoke testing without weights)")
+    p.add_argument("--seed", type=int, default=10)
+    p.add_argument("--decode_fp32", action="store_true", default=False,
+                   help="decode VAE in fp32 (reference parity); default bf16")
+    p.add_argument("--w_lr", type=float, default=1.0)
+    return p
+
+
+def run(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from .models.raft import load_raft, compute_bidirectional_flows
+    from .ops.resize import resize_2d
+    from .pipeline.color import adain_color_fix, wavelet_color_fix
+    from .pipeline.loader import load_pipeline
+    from .pipeline.tiling import needs_tiling, plan_tiles
+    from .utils import video_io
+
+    print("Loading Upscale-A-Video (TPU)")
+    decode_dtype = jnp.float32 if args.decode_fp32 else jnp.bfloat16
+    pipeline = load_pipeline(
+        None if args.random_weights else args.model_dir,
+        use_video_vae=args.use_video_vae,
+        decode_dtype=decode_dtype,
+        random_init=args.random_weights,
+    )
+
+    raft = None
+    if args.propagation_steps:
+        raft_path = os.path.join(args.model_dir, "propagator/raft-things.pth")
+        raft = load_raft(raft_path if os.path.exists(raft_path) else None)
+
+    captioner = None
+    if not args.no_llava:
+        from .captioner import build_captioner
+
+        captioner = build_captioner(load_8bit=args.load_8bit_llava)
+
+    # resolve inputs (ref :139-150)
+    ip = args.input_path
+    if ip.endswith(video_io.VIDEO_EXTENSIONS):
+        video_list = [ip]
+    elif os.path.isdir(ip) and any(
+        f.endswith(video_io.IMAGE_EXTENSIONS) for f in os.listdir(ip)
+    ):
+        video_list = [ip]
+    elif os.path.isdir(ip):
+        video_list = video_io.get_video_paths(ip)
+    else:
+        raise ValueError(f"invalid input: {ip}")
+
+    for vi, video_path in enumerate(video_list):
+        frames_u8, fps, name = video_io.read_video(video_path)
+        tag = f"[{vi + 1}/{len(video_list)}]"
+        print(f"{tag} Processing video: {name}")
+
+        caption = ""
+        if captioner is not None:
+            caption = captioner(frames_u8[0])
+            print(f"        Caption: {caption}")
+        prompt = caption + args.a_prompt
+
+        frames = video_io.to_model_range(frames_u8)  # (T, H, W, 3) [-1,1]
+        h, w = frames.shape[1:3]
+        if h >= 1280 and w >= 1280:  # ref :184-185
+            frames = np.asarray(
+                resize_2d(jnp.asarray(frames), (h // 4, w // 4), "area")
+            )
+            h, w = frames.shape[1:3]
+
+        video = jnp.asarray(frames)[None]  # (1, T, H, W, 3)
+        t = video.shape[1]
+
+        flows_bi = None
+        if raft is not None:
+            flows_bi = compute_bidirectional_flows(raft, video)
+
+        key = jax.random.PRNGKey(args.seed)
+        start_time = time.time()
+
+        do_tile = args.perform_tile or needs_tiling(h, w)
+        common = dict(
+            num_inference_steps=args.inference_steps,
+            guidance_scale=args.guidance_scale,
+            noise_level=args.noise_level,
+            negative_prompt=args.n_prompt,
+            propagation_steps=args.propagation_steps,
+            key=key,
+            w_lr=args.w_lr,
+        )
+        if do_tile:
+            specs = plan_tiles(h, w, args.tile_size, 64)
+            print(f"{tag} Processing the video w/ {len(specs)} tile patches...")
+            output = np.zeros((1, t, h * 4, w * 4, 3), dtype=np.float32)
+            for si, spec in enumerate(specs):
+                tile = video[:, :, spec.in_y0:spec.in_y1, spec.in_x0:spec.in_x1]
+                tile_flows = None
+                if flows_bi is not None:
+                    tile_flows = tuple(
+                        f[:, :, spec.in_y0:spec.in_y1, spec.in_x0:spec.in_x1]
+                        for f in flows_bi
+                    )
+                out_tile = np.asarray(pipeline(prompt, tile, flows_bi=tile_flows,
+                                               **common))
+                output[:, :, spec.out_y0:spec.out_y1, spec.out_x0:spec.out_x1] = \
+                    out_tile[:, :, spec.tile_y0:spec.tile_y1, spec.tile_x0:spec.tile_x1]
+        else:
+            print(f"{tag} Processing the video w/o tile...")
+            output = np.asarray(pipeline(prompt, video, flows_bi=flows_bi, **common))
+
+        if args.color_fix in ("AdaIn", "Wavelet"):
+            style = resize_2d(video[0], (h * 4, w * 4), "bicubic")  # (T,4H,4W,3)
+            fix = adain_color_fix if args.color_fix == "AdaIn" else wavelet_color_fix
+            output = np.asarray(fix(jnp.asarray(output[0]), style))[None]
+
+        run_time = time.time() - start_time
+
+        prop = "_p" + "_".join(map(str, args.propagation_steps)) \
+            if args.propagation_steps else ""
+        suffix = "_" + args.save_suffix if args.save_suffix else ""
+        g = args.guidance_scale
+        g_str = str(int(g)) if float(g).is_integer() else str(g)
+        save_name = f"{name}_n{args.noise_level}_g{g_str}_s{args.inference_steps}{prop}{suffix}"
+
+        out_u8 = video_io.from_model_range(output[0])
+        if args.save_image:
+            video_io.write_frames(
+                os.path.join(args.output_path, "frame", save_name), out_u8
+            )
+        video_io.write_video(
+            os.path.join(args.output_path, "video", f"{save_name}.mp4"), out_u8, fps
+        )
+        print(f"{tag} Saved. time (sec): {run_time:.2f}\n")
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    args = build_parser().parse_args(argv)
+    run(args)
+
+
+if __name__ == "__main__":
+    main()

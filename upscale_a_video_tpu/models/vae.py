@@ -99,8 +99,9 @@ class Decoder(nn.Module):
             )(img)
             cond = ResnetBlock3DPlus(
                 in_channels=cfg.condition_channels, out_channels=cfg.condition_channels,
-                temb_channels=None, dtype=dt, param_dtype=self.param_dtype,
-                name="condition_in_1",
+                temb_channels=None, groups=min(32, cfg.norm_num_groups),
+                groups_out=min(32, cfg.norm_num_groups), dtype=dt,
+                param_dtype=self.param_dtype, name="condition_in_1",
             )(cond)
             sample = FuseSFTBlock(
                 enc_channels=cfg.condition_channels, dec_channels=cfg.block_out_channels[-1],

@@ -1,0 +1,166 @@
+"""Pipeline assembly from a released weight bundle.
+
+Mirrors the reference's model-loading block (inference_upscale_a_video.py:96-131)
+against the published bundle layout (README.md:80-101):
+
+    <model_dir>/
+      scheduler/scheduler_config.json
+      low_res_scheduler/scheduler_config.json
+      text_encoder/{config.json, pytorch_model.bin}
+      tokenizer/...
+      unet/{unet_video_config.json, unet_video.bin}
+      vae/{vae_3d_config.json, vae_3d.bin, vae_video_config.json, vae_video.bin}
+      propagator/raft-things.pth
+
+Torch state dicts are converted on first load (utils/convert.py) and cached as
+orbax checkpoints next to the originals. ``random_init=True`` builds the same
+models with fresh params (smoke tests / benches without weights).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import UNetVideoConfig, VaeConfig
+from ..models import AutoencoderKLVideo, UNetVideoModel
+from ..models.clip_text import CLIPTextConfig, CLIPTextModel
+from ..sampling import DDIMScheduler, DDPMScheduler
+from ..utils.convert import CLIP_RENAMES, convert_state_dict, load_torch_state
+from .pipeline import PipelineModules, VideoUpscalePipeline
+
+
+def _maybe_json(path: Path, default: dict) -> dict:
+    if path.exists():
+        with open(path) as f:
+            return json.load(f)
+    return default
+
+
+class HFTokenizerAdapter:
+    """CLIPTokenizer → int32 (B, 77) ids (ref _encode_prompt padding scheme,
+    pipeline_upscale_a_video.py:231-240)."""
+
+    def __init__(self, tokenizer_dir: Optional[str] = None):
+        from transformers import CLIPTokenizer
+
+        if tokenizer_dir and os.path.isdir(tokenizer_dir):
+            self.tok = CLIPTokenizer.from_pretrained(tokenizer_dir)
+        else:
+            self.tok = CLIPTokenizer.from_pretrained("openai/clip-vit-base-patch32")
+
+    def __call__(self, prompts):
+        import numpy as np
+
+        enc = self.tok(
+            list(prompts), padding="max_length", max_length=self.tok.model_max_length,
+            truncation=True, return_tensors="np",
+        )
+        return enc["input_ids"].astype(np.int32)
+
+
+class FallbackTokenizer:
+    """Deterministic stand-in when no tokenizer assets are available."""
+
+    def __call__(self, prompts):
+        import numpy as np
+
+        ids = np.full((len(prompts), 77), 49407, dtype=np.int32)
+        ids[:, 0] = 49406
+        for i, p in enumerate(prompts):
+            for j, ch in enumerate(p.encode()[:60]):
+                ids[i, 1 + j] = ch % 49000
+        return ids
+
+
+def load_pipeline(
+    model_dir: Optional[str] = None,
+    use_video_vae: bool = False,
+    dtype=jnp.bfloat16,
+    decode_dtype=jnp.float32,
+    random_init: bool = False,
+    seed: int = 0,
+) -> VideoUpscalePipeline:
+    root = Path(model_dir) if model_dir else None
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    # configs: bundle copies if present, else the reference's
+    ref_cfg = Path("/root/reference/configs")
+    unet_cfg_path = (root / "unet/unet_video_config.json") if root else None
+    if not (unet_cfg_path and unet_cfg_path.exists()):
+        unet_cfg_path = ref_cfg / "unet_video_config.json"
+    vae_name = "vae_video" if use_video_vae else "vae_3d"
+    vae_cfg_path = (root / f"vae/{vae_name}_config.json") if root else None
+    if not (vae_cfg_path and vae_cfg_path.exists()):
+        vae_cfg_path = ref_cfg / f"{vae_name}_config.json"
+
+    unet_cfg = UNetVideoConfig.from_json(unet_cfg_path)
+    vae_cfg = VaeConfig.from_json(vae_cfg_path)
+
+    text_cfg = CLIPTextConfig.from_dict(
+        _maybe_json(root / "text_encoder/config.json", {}) if root else {}
+    )
+
+    unet = UNetVideoModel(unet_cfg, dtype=dtype)
+    vae = AutoencoderKLVideo(vae_cfg, dtype=decode_dtype)
+    clip = CLIPTextModel(text_cfg, dtype=dtype)
+
+    unet_params = unet.init(
+        k1, jnp.zeros((1, 2, 16, 16, 4), dtype), 0, jnp.zeros((1, 2, 16, 16, 3), dtype),
+        jnp.zeros((1, 77, unet_cfg.cross_attention_dim), dtype), 0,
+    )
+    vae_params = (
+        vae.init(k2, jnp.zeros((1, 1, 16, 16, 4)), method=vae.decode,
+                 img=jnp.zeros((1, 1, 16, 16, 3)) if vae_cfg.condition_img else None)
+        if vae_cfg.condition_img
+        else vae.init(k2, jnp.zeros((1, 1, 16, 16, 3)))
+    )
+    clip_params = clip.init(k3, jnp.zeros((1, 77), dtype=jnp.int32))
+
+    if not random_init:
+        if root is None:
+            raise ValueError("model_dir is required unless random_init=True")
+        unet_bin = root / "unet/unet_video.bin"
+        unet_params = {"params": convert_state_dict(
+            unet_params["params"], load_torch_state(str(unet_bin)))[0]}
+        vae_bin = root / f"vae/{vae_name}.bin"
+        vae_params = {"params": convert_state_dict(
+            vae_params["params"], load_torch_state(str(vae_bin)))[0]}
+        text_bin = root / "text_encoder/pytorch_model.bin"
+        if text_bin.exists():
+            clip_params = {"params": convert_state_dict(
+                clip_params["params"], load_torch_state(str(text_bin)),
+                renames=CLIP_RENAMES, prefix="text_model.")[0]}
+
+    sched_cfg = _maybe_json(
+        root / "scheduler/scheduler_config.json" if root else Path("/nonexistent"),
+        {"beta_schedule": "scaled_linear", "beta_start": 0.0001, "beta_end": 0.02,
+         "num_train_timesteps": 1000, "clip_sample": False, "prediction_type": "epsilon",
+         "steps_offset": 1, "set_alpha_to_one": True},
+    )
+    lrs_cfg = _maybe_json(
+        root / "low_res_scheduler/scheduler_config.json" if root else Path("/nonexistent"),
+        {"beta_schedule": "scaled_linear", "beta_start": 0.0001, "beta_end": 0.02,
+         "num_train_timesteps": 1000},
+    )
+
+    try:
+        tokenizer = HFTokenizerAdapter(str(root / "tokenizer") if root else None)
+    except Exception:
+        tokenizer = FallbackTokenizer()
+
+    modules = PipelineModules(
+        unet=unet, unet_params=unet_params,
+        vae=vae, vae_params=vae_params,
+        text_encoder=clip, text_params=clip_params,
+        tokenizer=tokenizer,
+        scheduler=DDIMScheduler.from_dict(sched_cfg),
+        low_res_scheduler=DDPMScheduler.from_dict(lrs_cfg),
+    )
+    return VideoUpscalePipeline(modules, dtype=dtype, decode_dtype=decode_dtype)
