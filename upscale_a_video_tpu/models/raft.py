@@ -296,16 +296,17 @@ class RAFT(nn.Module):
         coords0 = jnp.broadcast_to(coords0, (b, h8, w8, 2))
         coords1 = coords0
 
-        def body(carry, _):
+        def step(update_block, carry, _):
             net, coords1 = carry
             corr = lookup_corr(pyramid, coords1, self.corr_radius)
             flow = coords1 - coords0
-            net, up_mask, delta = self.update_block(net, inp, corr, flow)
-            coords1 = coords1 + delta
-            return (net, coords1), up_mask
+            net, up_mask, delta = update_block(net, inp, corr, flow)
+            return (net, coords1 + delta), up_mask
 
-        (net, coords1), up_masks = jax.lax.scan(body, (net, coords1), None,
-                                                length=iters)
+        # lifted scan: params broadcast across the 20 iterations
+        scan = nn.scan(step, variable_broadcast="params",
+                       split_rngs={"params": False}, length=iters)
+        (net, coords1), up_masks = scan(self.update_block, (net, coords1), None)
         return self.upsample_flow(coords1 - coords0, up_masks[-1])
 
 

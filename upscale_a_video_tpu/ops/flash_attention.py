@@ -1,0 +1,153 @@
+"""Pallas TPU flash attention (forward).
+
+Replaces the reference's CUDA attention paths — xformers
+memory-efficient attention (attention.py:283-289) and the baddbmm+softmax core
+(attention.py:209-238) — with a tiled online-softmax kernel that never
+materializes the (Sq, Sk) score matrix in HBM. This matters most for the VAE
+mid-block spatial attention (single head, d=512, thousands of tokens: the
+fp32 score matrix would be hundreds of MB) and the deepest UNet self-attention.
+
+Design (see guides: flash forward kernel):
+- grid (B·H, Sq/block_q, Sk/block_k): batch×head fused into one parallel axis,
+  KV axis sequential (online softmax reduction).
+- fp32 softmax statistics (m, l) and output accumulator in VMEM scratch.
+- padding to 128-multiples handled by the wrapper; padded keys are masked with
+  a large negative value (not -inf, avoiding exp(-inf - -inf) NaNs).
+- additive bias (temporal rel-pos) is NOT supported here — the temporal
+  attention sequence length is 8, far below where flash attention pays off;
+  it stays on the fused XLA path (ops/attention.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
+MIN_BLOCK = 128
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
+                  scale: float, kv_len: int, block_k: int):
+    kv_idx = pl.program_id(2)
+    num_kv = pl.num_programs(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # (block_q, d)
+    k = k_ref[0]  # (block_k, d)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale
+
+    # mask padded key columns (static kv_len)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * block_k
+    s = jnp.where(col < kv_len, s, DEFAULT_MASK_VALUE)
+
+    m_prev = m_ref[...]
+    l_prev = l_ref[...]
+    m_curr = jnp.max(s, axis=1, keepdims=True)  # (block_q, 1)
+    m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next[:, :1])
+    l_corr = alpha * l_prev
+    l_next = l_corr + jnp.broadcast_to(jnp.sum(p, axis=1, keepdims=True),
+                                       l_prev.shape)
+    m_ref[...] = m_next
+    l_ref[...] = l_next
+
+    v = v_ref[0]  # (block_k, d)
+    acc_ref[...] = acc_ref[...] * alpha[:, :1]
+    acc_ref[...] += jax.lax.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kv_idx == num_kv - 1)
+    def _store():
+        l = l_ref[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+def _flash_call(q, k, v, scale: float, block_q: int, block_k: int):
+    bh, sq, d = q.shape
+    _, sk, _ = k.shape
+    sq_pad = _round_up(sq, block_q)
+    sk_pad = _round_up(sk, block_k)
+    if sq_pad != sq:
+        q = jnp.pad(q, ((0, 0), (0, sq_pad - sq), (0, 0)))
+    if sk_pad != sk:
+        k = jnp.pad(k, ((0, 0), (0, sk_pad - sk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, sk_pad - sk), (0, 0)))
+
+    grid = (bh, sq_pad // block_q, sk_pad // block_k)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, kv_len=sk, block_k=block_k),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_pad, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, MIN_BLOCK), jnp.float32),  # m
+            pltpu.VMEM((block_q, MIN_BLOCK), jnp.float32),  # l
+            pltpu.VMEM((block_q, d), jnp.float32),          # acc
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(q, k, v)
+    return out[:, :sq]
+
+
+def flash_attention_fits(q, k, v, bias) -> bool:
+    """Geometry gate: no bias, head_dim lane-aligned, sequences long enough
+    that tiling beats one fused XLA softmax."""
+    if bias is not None:
+        return False
+    *_, sq, d = q.shape
+    sk = k.shape[-2]
+    if d % MIN_BLOCK != 0 or d > 512:
+        return False
+    return sq >= 512 and sk >= 512
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float,
+    bias: Optional[jax.Array] = None,
+    block_q: int = 256,
+    block_k: int = 512,
+) -> jax.Array:
+    """q: (..., Sq, D), k/v: (..., Sk, D) → (..., Sq, D) in q.dtype."""
+    assert bias is None, "bias not supported in the flash path"
+    *batch, sq, d = q.shape
+    sk = k.shape[-2]
+    qf = q.reshape(-1, sq, d)
+    kf = k.reshape(-1, sk, d)
+    vf = v.reshape(-1, sk, d)
+    block_q = min(block_q, _round_up(sq, MIN_BLOCK))
+    block_k = min(block_k, _round_up(sk, MIN_BLOCK))
+    out = _flash_call(qf, kf, vf, float(scale), block_q, block_k)
+    return out.reshape(*batch, sq, d)
