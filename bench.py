@@ -45,14 +45,14 @@ def build_pipeline(size):
     vae = AutoencoderKLVideo(vae_cfg, dtype=jnp.bfloat16)
     clip = CLIPTextModel(clip_cfg, dtype=jnp.bfloat16)
 
-    key = jax.random.PRNGKey(0)
-    k1, k2, k3 = jax.random.split(key, 3)
+    from upscale_a_video_tpu.utils.param_init import fast_init
+
     t0 = time.time()
-    unet_params = unet.init(k1, jnp.zeros((1, 2, 32, 32, 4), jnp.bfloat16), 0,
+    unet_params = fast_init(unet, jnp.zeros((1, 2, 32, 32, 4), jnp.bfloat16), 0,
                             jnp.zeros((1, 2, 32, 32, 3), jnp.bfloat16),
                             jnp.zeros((1, 77, 1024), jnp.bfloat16), 0)
-    vae_params = vae.init(k2, jnp.zeros((1, 1, 32, 32, 3), jnp.bfloat16))
-    clip_params = clip.init(k3, jnp.zeros((1, 77), dtype=jnp.int32))
+    vae_params = fast_init(vae, jnp.zeros((1, 1, 32, 32, 3), jnp.bfloat16), seed=1)
+    clip_params = fast_init(clip, jnp.zeros((1, 77), dtype=jnp.int32), seed=2)
     print(f"init: {time.time() - t0:.1f}s", file=sys.stderr)
 
     class FixedTokenizer:

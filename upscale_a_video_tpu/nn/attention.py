@@ -148,6 +148,52 @@ class TemporalAttention(nn.Module):
         )(out)
 
 
+class SparseCausalAttention(nn.Module):
+    """Self-attention whose K/V are the concat of frame-0 and previous-frame
+    tokens (ref attention.py:567-623). Disabled in the released config
+    (use_first_frame=false) but part of the capability surface.
+
+    Input: (B·F, S, C) per-frame tokens + video_length."""
+
+    query_dim: int
+    heads: int = 8
+    dim_head: int = 64
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states: jax.Array, video_length: int) -> jax.Array:
+        inner = self.heads * self.dim_head
+        bf, s, c = hidden_states.shape
+        b = bf // video_length
+
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="to_q")(hidden_states)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="to_k")(hidden_states)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="to_v")(hidden_states)
+
+        former = np.maximum(np.arange(video_length) - 1, 0)
+        first = np.zeros(video_length, dtype=np.int64)
+
+        def causal_concat(x):
+            t = x.reshape(b, video_length, s, inner)
+            out = jnp.concatenate([t[:, first], t[:, former]], axis=2)
+            return out.reshape(bf, 2 * s, inner)
+
+        k = causal_concat(k)
+        v = causal_concat(v)
+
+        qh = _split_heads(q, self.heads)
+        kh = _split_heads(k, self.heads)
+        vh = _split_heads(v, self.heads)
+        out = attention(qh, kh, vh, scale=self.dim_head**-0.5)
+        out = _merge_heads(out)
+        return nn.Dense(self.query_dim, use_bias=True, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="to_out_0")(out)
+
+
 class GEGLU(nn.Module):
     dim_out: int
     dtype: Optional[jnp.dtype] = None

@@ -29,6 +29,13 @@ class TemporalModule3D(nn.Module):
     temb_channels: Optional[int] = None
     use_scale_shift: bool = False
     groups: int = 32  # fixed at 32 in the reference (temporal_module.py:138)
+    # optional temporal transformer (off in the released config, ref :120,141)
+    attention_block_types: tuple = ("", "")
+    num_attention_heads: int = 8
+    attention_dim_div: int = 2
+    cross_frame_attention_mode: Optional[str] = None
+    use_dcn_warpping: bool = False
+    use_deformable_conv: bool = True
     dtype: Optional[jnp.dtype] = None
     param_dtype: jnp.dtype = jnp.float32
 
@@ -38,6 +45,7 @@ class TemporalModule3D(nn.Module):
         hidden_states: jax.Array,
         temb: Optional[jax.Array] = None,
         w: float = 1.0,
+        timesteps=None,
     ) -> jax.Array:
         x = hidden_states
         h = ResnetBlock3DCNN(
@@ -50,6 +58,21 @@ class TemporalModule3D(nn.Module):
             groups=self.groups, groups_out=self.groups, dtype=self.dtype,
             param_dtype=self.param_dtype, name="resblocks_3d_spatial",
         )(h, temb)
+
+        if self.attention_block_types[0] != "" or self.attention_block_types[1] != "":
+            from .temporal_transformer import TemporalTransformer3DModel
+
+            head_dim = self.in_channels // self.num_attention_heads // self.attention_dim_div
+            h = TemporalTransformer3DModel(
+                heads=self.num_attention_heads, dim_head=head_dim,
+                in_channels=self.in_channels, num_layers=1,
+                norm_num_groups=min(8, self.groups),
+                attention_block_types=tuple(self.attention_block_types),
+                cross_frame_attention_mode=self.cross_frame_attention_mode,
+                use_dcn_warpping=self.use_dcn_warpping,
+                use_deformable_conv=self.use_deformable_conv,
+                dtype=self.dtype, param_dtype=self.param_dtype, name="attentions_0",
+            )(h, timesteps if timesteps is not None else 0)
 
         if self.use_scale_shift:
             ss = InflatedConv(

@@ -111,17 +111,27 @@ def load_pipeline(
     vae = AutoencoderKLVideo(vae_cfg, dtype=decode_dtype)
     clip = CLIPTextModel(text_cfg, dtype=dtype)
 
-    unet_params = unet.init(
-        k1, jnp.zeros((1, 2, 16, 16, 4), dtype), 0, jnp.zeros((1, 2, 16, 16, 3), dtype),
+    from ..utils.param_init import fast_init
+
+    unet_params = fast_init(
+        unet, jnp.zeros((1, 2, 16, 16, 4), dtype), 0,
+        jnp.zeros((1, 2, 16, 16, 3), dtype),
         jnp.zeros((1, 77, unet_cfg.cross_attention_dim), dtype), 0,
     )
-    vae_params = (
-        vae.init(k2, jnp.zeros((1, 1, 16, 16, 4)), method=vae.decode,
-                 img=jnp.zeros((1, 1, 16, 16, 3)) if vae_cfg.condition_img else None)
-        if vae_cfg.condition_img
-        else vae.init(k2, jnp.zeros((1, 1, 16, 16, 3)))
-    )
-    clip_params = clip.init(k3, jnp.zeros((1, 77), dtype=jnp.int32))
+    if vae_cfg.condition_img:
+        # conditional decoder needs `img`; init encoder and decoder separately
+        # and merge the param trees
+        enc_params = fast_init(
+            vae, jnp.zeros((1, 1, 16, 16, 3)), method=vae.encode_moments, seed=1
+        )
+        dec_params = fast_init(
+            vae, jnp.zeros((1, 1, 16, 16, vae_cfg.latent_channels)),
+            method=vae.decode, img=jnp.zeros((1, 1, 16, 16, 3)), seed=1,
+        )
+        vae_params = {"params": {**enc_params["params"], **dec_params["params"]}}
+    else:
+        vae_params = fast_init(vae, jnp.zeros((1, 1, 16, 16, 3)), seed=1)
+    clip_params = fast_init(clip, jnp.zeros((1, 77), dtype=jnp.int32), seed=2)
 
     if not random_init:
         if root is None:
