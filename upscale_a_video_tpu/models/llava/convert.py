@@ -1,0 +1,74 @@
+"""LLaVA checkpoint conversion: HF llava-v1.5 state dict → flax LlavaModel.
+
+Key schema (liuhaotian/llava-v1.5-*):
+    model.vision_tower.vision_tower.vision_model.embeddings.{patch,class,position}_embedding
+    model.vision_tower.vision_tower.vision_model.encoder.layers.N.{self_attn,mlp,layer_norm1,layer_norm2}
+    model.mm_projector.{0,2}.{weight,bias}
+    model.embed_tokens.weight / model.layers.N.* / model.norm.weight / lm_head.weight
+
+Reuses the generic template-walk converter (utils/convert.py) with a rename
+table; also applies delta weights (ref llava/model/apply_delta.py semantics:
+base + delta elementwise, vocab rows appended) when a base state dict is given.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from ...utils.convert import convert_state_dict
+
+# Applied as ordered str.replace; more-specific keys first so the vision
+# "layers." rename never touches the language model's layers.
+LLAVA_RENAMES: Dict[str, str] = {
+    # vision tower (flax "vision_tower/layers_N/..." →
+    # "model.vision_tower.vision_tower.vision_model.encoder.layers.N....")
+    "vision_tower.": "model.vision_tower.vision_tower.vision_model.",
+    "vision_model.layers.": "vision_model.encoder.layers.",
+    "vision_model.patch_embedding.weight": "vision_model.embeddings.patch_embedding.weight",
+    "vision_model.class_embedding": "vision_model.embeddings.class_embedding",
+    "vision_model.position_embedding.weight": "vision_model.embeddings.position_embedding.weight",
+    "mlp_fc1": "mlp.fc1",
+    "mlp_fc2": "mlp.fc2",
+    # projector (index suffix already mapped to ".0"/".2" by the generic rule)
+    "mm_projector.0": "model.mm_projector.0",
+    "mm_projector.2": "model.mm_projector.2",
+    # language model
+    "language_model.embed_tokens.weight": "model.embed_tokens.weight",
+    "language_model.model.": "model.",
+    "language_model.lm_head": "lm_head",
+    "self_attn_q_proj": "self_attn.q_proj",
+    "self_attn_k_proj": "self_attn.k_proj",
+    "self_attn_v_proj": "self_attn.v_proj",
+    "self_attn_o_proj": "self_attn.o_proj",
+    "self_attn_out_proj": "self_attn.out_proj",
+    "mlp_gate_proj": "mlp.gate_proj",
+    "mlp_up_proj": "mlp.up_proj",
+    "mlp_down_proj": "mlp.down_proj",
+}
+
+
+def apply_delta(base: Dict[str, np.ndarray], delta: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """base + delta (ref llava/model/apply_delta.py): elementwise add; rows
+    beyond the base vocab (embed_tokens / lm_head) come from the delta."""
+    out = {}
+    for k, dv in delta.items():
+        if k in base:
+            bv = base[k]
+            if bv.shape == dv.shape:
+                out[k] = bv + dv
+            else:
+                merged = dv.copy()
+                merged[: bv.shape[0]] += bv
+                out[k] = merged
+        else:
+            out[k] = dv
+    return out
+
+
+def convert_llava(template_params, torch_state: Dict[str, np.ndarray],
+                  strict: bool = False):
+    """Template-walk conversion with the LLaVA rename table."""
+    return convert_state_dict(template_params, torch_state,
+                              renames=LLAVA_RENAMES, strict=strict)

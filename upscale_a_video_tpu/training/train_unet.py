@@ -92,8 +92,10 @@ def make_train_step(
     def opt_with_mask(params):
         if not freeze_non_temporal:
             return optimizer
-        mask = temporal_param_mask(params)
-        return optax.masked(optimizer, mask)
+        labels = jax.tree.map(
+            lambda f: "train" if f else "freeze", temporal_param_mask(params))
+        return optax.multi_transform(
+            {"train": optimizer, "freeze": optax.set_to_zero()}, labels)
 
     def train_step(params, opt_state, batch, key):
         loss, grads = jax.value_and_grad(
@@ -115,5 +117,8 @@ def init_optimizer(
     if optimizer is None:
         optimizer = optax.adamw(1e-4, weight_decay=1e-2)
     if freeze_non_temporal:
-        optimizer = optax.masked(optimizer, temporal_param_mask(params))
+        labels = jax.tree.map(
+            lambda f: "train" if f else "freeze", temporal_param_mask(params))
+        optimizer = optax.multi_transform(
+            {"train": optimizer, "freeze": optax.set_to_zero()}, labels)
     return optimizer.init(params)

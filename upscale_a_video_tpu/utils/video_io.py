@@ -77,14 +77,18 @@ def _read_image_folder(folder: Path) -> Tuple[np.ndarray, float, str]:
 
 
 def to_model_range(frames_u8: np.ndarray) -> np.ndarray:
-    """(T,H,W,3) uint8 → float32 [-1, 1] (ref inference_upscale_a_video.py:180)."""
-    return (frames_u8.astype(np.float32) / 255.0 - 0.5) * 2.0
+    """(T,H,W,3) uint8 → float32 [-1, 1] (ref inference_upscale_a_video.py:180).
+    Uses the native threaded kernel when built (native/frameproc.cpp)."""
+    from . import native_frameproc
+
+    return native_frameproc.normalize_u8(np.ascontiguousarray(frames_u8))
 
 
 def from_model_range(frames: np.ndarray) -> np.ndarray:
     """[-1, 1] → uint8 (ref :357-359)."""
-    x = np.clip(np.asarray(frames, dtype=np.float32) / 2 + 0.5, 0.0, 1.0) * 255.0
-    return x.astype(np.uint8)
+    from . import native_frameproc
+
+    return native_frameproc.denormalize_f32(np.asarray(frames, dtype=np.float32))
 
 
 def write_video(path: str, frames_u8: np.ndarray, fps: float = 25.0,
