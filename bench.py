@@ -17,11 +17,19 @@ measured torch number when that stack is available.
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+# persistent XLA compilation cache: first bench run pays the compile, later
+# runs (driver re-runs, CI) start hot
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.makedirs(_CACHE_DIR, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 REF_BASELINE_FPS_320 = 0.25  # provisional H100 estimate; see module docstring
 

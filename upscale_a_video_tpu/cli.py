@@ -43,6 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--load_8bit_llava", action="store_true", default=False)
     p.add_argument("--perform_tile", action="store_true", default=False)
     p.add_argument("--tile_size", type=int, default=256)
+    p.add_argument("--tile_batch", type=int, default=1,
+                   help="tiles batched per pipeline call (TPU data parallelism)")
     p.add_argument("--save_image", action="store_true", default=False)
     p.add_argument("--save_suffix", type=str, default="")
     # TPU-specific additions
@@ -141,21 +143,13 @@ def run(args) -> None:
             w_lr=args.w_lr,
         )
         if do_tile:
-            specs = plan_tiles(h, w, args.tile_size, 64)
-            print(f"{tag} Processing the video w/ {len(specs)} tile patches...")
-            output = np.zeros((1, t, h * 4, w * 4, 3), dtype=np.float32)
-            for si, spec in enumerate(specs):
-                tile = video[:, :, spec.in_y0:spec.in_y1, spec.in_x0:spec.in_x1]
-                tile_flows = None
-                if flows_bi is not None:
-                    tile_flows = tuple(
-                        f[:, :, spec.in_y0:spec.in_y1, spec.in_x0:spec.in_x1]
-                        for f in flows_bi
-                    )
-                out_tile = np.asarray(pipeline(prompt, tile, flows_bi=tile_flows,
-                                               **common))
-                output[:, :, spec.out_y0:spec.out_y1, spec.out_x0:spec.out_x1] = \
-                    out_tile[:, :, spec.tile_y0:spec.tile_y1, spec.tile_x0:spec.tile_x1]
+            from .pipeline.tiled_run import run_tiled
+
+            n_tiles = len(plan_tiles(h, w, args.tile_size, 64))
+            print(f"{tag} Processing the video w/ {n_tiles} tile patches...")
+            output = run_tiled(pipeline, prompt, video, flows_bi=flows_bi,
+                               tile_size=args.tile_size, overlap=64,
+                               tile_batch=args.tile_batch, **common)
         else:
             print(f"{tag} Processing the video w/o tile...")
             output = np.asarray(pipeline(prompt, video, flows_bi=flows_bi, **common))

@@ -148,11 +148,14 @@ def load_pipeline(
                 clip_params["params"], load_torch_state(str(text_bin)),
                 renames=CLIP_RENAMES, prefix="text_model.")[0]}
 
+    # defaults follow the stable-diffusion-x4-upscaler bundle (SD2 betas for
+    # the DDIM sampler, wider betas for the LR-noising DDPM); the bundle's own
+    # scheduler_config.json overrides when present
     sched_cfg = _maybe_json(
         root / "scheduler/scheduler_config.json" if root else Path("/nonexistent"),
-        {"beta_schedule": "scaled_linear", "beta_start": 0.0001, "beta_end": 0.02,
+        {"beta_schedule": "scaled_linear", "beta_start": 0.00085, "beta_end": 0.012,
          "num_train_timesteps": 1000, "clip_sample": False, "prediction_type": "epsilon",
-         "steps_offset": 1, "set_alpha_to_one": True},
+         "steps_offset": 1, "set_alpha_to_one": False},
     )
     lrs_cfg = _maybe_json(
         root / "low_res_scheduler/scheduler_config.json" if root else Path("/nonexistent"),
