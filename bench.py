@@ -1,43 +1,47 @@
-"""Benchmark: end-to-end 4× video upscale throughput on one chip.
+"""Benchmark: 4× video upscale throughput on one chip. Prints ONE JSON line.
 
-Measures the flagship path — reference-config UNetVideo (bf16) + conditional
-VAE decode — on a synthetic 8-frame clip, 30 DDIM steps with CFG (guidance 6),
-noise level 120 (BASELINE.json config #1 semantics). Prints ONE JSON line.
+Flagship path: reference-config UNetVideo (bf16) + conditional VAE decode,
+8-frame clip, 30 DDIM steps with CFG (BASELINE.json config #1 semantics).
 
-Geometry: 256×256 LR → 1024×1024 output by default (a single reference tile —
-the driver-level tile loop makes larger inputs a linear multiple of this).
-An OOM/compile-timeout ladder falls back to smaller sizes; the reported
-``vs_baseline`` scales the reference estimate to the measured geometry.
-
-``vs_baseline``: the reference repo publishes no throughput numbers
-(BASELINE.md), so the denominator is a cost-model estimate of the PyTorch
-reference on H100: ~0.25 frames/s at 320² per chip (fp16 UNet, serial windows,
-fp32 VAE decode) ⇒ 0.25·(320/size)² at other sizes. To be replaced by a
-measured torch number when that stack is available.
+Stages (the parent runs each in a subprocess with a wall-clock budget and
+falls back, so a slow compile through the TPU tunnel can't leave the driver
+without a number):
+    e2e <size>   — whole pipeline (denoise scan + chunked decode), measured
+    components   — UNet denoise step and VAE 3-frame decode timed separately;
+                   e2e time modeled as STEPS·t_unet + ceil(T/3)·t_dec (the
+                   scan/blend overhead around them is negligible)
+``vs_baseline``: the reference publishes no numbers (BASELINE.md); the
+denominator is a cost-model estimate of the torch reference on H100:
+0.25 frames/s at 320² ⇒ 0.25·(320/size)² at other sizes.
 """
 
 import json
+import math
 import os
+import subprocess
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-
-# persistent XLA compilation cache: first bench run pays the compile, later
-# runs (driver re-runs, CI) start hot
-_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-os.makedirs(_CACHE_DIR, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-
-REF_BASELINE_FPS_320 = 0.25  # provisional H100 estimate; see module docstring
-
+REF_BASELINE_FPS_320 = 0.25
 FRAMES = 8
 STEPS = 30
 
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+
+
+def _setup_jax():
+    import jax
+
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    return jax
+
 
 def build_pipeline():
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
     from upscale_a_video_tpu.config import UNetVideoConfig, VaeConfig
     from upscale_a_video_tpu.models import AutoencoderKLVideo, UNetVideoModel
     from upscale_a_video_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
@@ -51,18 +55,19 @@ def build_pipeline():
 
     unet_cfg = UNetVideoConfig.from_json("/root/reference/configs/unet_video_config.json")
     vae_cfg = VaeConfig.from_json("/root/reference/configs/vae_3d_config.json")
-    clip_cfg = CLIPTextConfig()
 
     unet = UNetVideoModel(unet_cfg, dtype=jnp.bfloat16)
     vae = AutoencoderKLVideo(vae_cfg, dtype=jnp.bfloat16)
-    clip = CLIPTextModel(clip_cfg, dtype=jnp.bfloat16)
+    clip = CLIPTextModel(CLIPTextConfig(), dtype=jnp.bfloat16)
 
     t0 = time.time()
     unet_params = fast_init(unet, jnp.zeros((1, 2, 32, 32, 4), jnp.bfloat16), 0,
                             jnp.zeros((1, 2, 32, 32, 3), jnp.bfloat16),
-                            jnp.zeros((1, 77, 1024), jnp.bfloat16), 0)
-    vae_params = fast_init(vae, jnp.zeros((1, 1, 32, 32, 3), jnp.bfloat16), seed=1)
-    clip_params = fast_init(clip, jnp.zeros((1, 77), dtype=jnp.int32), seed=2)
+                            jnp.zeros((1, 77, 1024), jnp.bfloat16), 0, zeros=True)
+    vae_params = fast_init(vae, jnp.zeros((1, 1, 32, 32, 3), jnp.bfloat16), seed=1,
+                           zeros=True)
+    clip_params = fast_init(clip, jnp.zeros((1, 77), dtype=jnp.int32), seed=2,
+                            zeros=True)
     print(f"init: {time.time() - t0:.1f}s", file=sys.stderr)
 
     class FixedTokenizer:
@@ -78,55 +83,131 @@ def build_pipeline():
         scheduler=DDIMScheduler(DDIMSchedulerConfig(beta_schedule="scaled_linear")),
         low_res_scheduler=DDPMScheduler(),
     )
-    # bf16 decode on TPU: bf16 has the fp32 exponent range, so the reference's
-    # fp16-overflow workaround (pipeline :666-681) is unnecessary
     return VideoUpscalePipeline(modules, dtype=jnp.bfloat16, decode_dtype=jnp.bfloat16)
 
 
-def run(pipe, size):
+def _result(size: int, fps: float, note: str) -> dict:
+    ref_fps = REF_BASELINE_FPS_320 * (320.0 / size) ** 2
+    return {
+        "metric": f"e2e 4x upscale {size}x{size}->{4 * size}x{4 * size}, "
+                  f"{STEPS} DDIM steps + CFG + VAE decode ({note}), frames/sec/chip",
+        "value": round(fps, 4),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / ref_fps, 3),
+    }
+
+
+def stage_e2e(size: int) -> dict:
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    pipe = build_pipeline()
     img = jax.random.uniform(jax.random.PRNGKey(1), (1, FRAMES, size, size, 3),
                              jnp.float32, -1, 1)
     t0 = time.time()
     out = pipe("bench", img, num_inference_steps=STEPS, guidance_scale=6.0,
                noise_level=120)
     out.block_until_ready()
-    print(f"[{size}] compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
-
+    print(f"[e2e {size}] compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
     t0 = time.time()
     out = pipe("bench", img, num_inference_steps=STEPS, guidance_scale=6.0,
                noise_level=120)
     out.block_until_ready()
     dt = time.time() - t0
     assert out.shape == (1, FRAMES, size * 4, size * 4, 3)
-    return FRAMES / dt
+    return _result(size, FRAMES / dt, "measured")
+
+
+def stage_components(size: int) -> dict:
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from upscale_a_video_tpu.config import UNetVideoConfig, VaeConfig
+    from upscale_a_video_tpu.models import AutoencoderKLVideo, UNetVideoModel
+    from upscale_a_video_tpu.utils.param_init import fast_init
+
+    unet_cfg = UNetVideoConfig.from_json("/root/reference/configs/unet_video_config.json")
+    vae_cfg = VaeConfig.from_json("/root/reference/configs/vae_3d_config.json")
+    unet = UNetVideoModel(unet_cfg, dtype=jnp.bfloat16)
+    vae = AutoencoderKLVideo(vae_cfg, dtype=jnp.bfloat16)
+
+    unet_params = fast_init(unet, jnp.zeros((1, 2, 32, 32, 4), jnp.bfloat16), 0,
+                            jnp.zeros((1, 2, 32, 32, 3), jnp.bfloat16),
+                            jnp.zeros((1, 77, 1024), jnp.bfloat16), 0, zeros=True)
+    vae_params = fast_init(vae, jnp.zeros((1, 1, 32, 32, 3), jnp.bfloat16), seed=1,
+                           zeros=True)
+
+    # denoise step: CFG batch 2, one 8-frame window
+    lat = jnp.zeros((2, FRAMES, size, size, 4), jnp.bfloat16)
+    lr = jnp.zeros((2, FRAMES, size, size, 3), jnp.bfloat16)
+    ctx = jnp.zeros((2, 77, 1024), jnp.bfloat16)
+
+    @jax.jit
+    def unet_step(lat, lr, ctx):
+        return unet.apply(unet_params, lat, jnp.int32(500), lr, ctx, jnp.int32(120))
+
+    unet_step(lat, lr, ctx).block_until_ready()
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        out = unet_step(lat, lr, ctx)
+    out.block_until_ready()
+    t_unet = (time.time() - t0) / reps
+    print(f"[components {size}] unet step: {t_unet * 1e3:.1f} ms", file=sys.stderr)
+
+    # VAE decode: 3-frame chunk
+    z = jnp.zeros((1, 3, size, size, 4), jnp.bfloat16)
+
+    @jax.jit
+    def decode(z):
+        return vae.apply(vae_params, z, method=vae.decode)
+
+    decode(z).block_until_ready()
+    t0 = time.time()
+    for _ in range(reps):
+        out = decode(z)
+    out.block_until_ready()
+    t_dec = (time.time() - t0) / reps
+    print(f"[components {size}] vae 3-frame decode: {t_dec * 1e3:.1f} ms",
+          file=sys.stderr)
+
+    total = STEPS * t_unet + math.ceil(FRAMES / 3) * t_dec
+    return _result(size, FRAMES / total, "component-timed model")
 
 
 def main():
-    sizes = [int(s) for s in sys.argv[1:]] or [256, 192, 128]
-    pipe = build_pipeline()
-    fps, size = None, None
-    for attempt in sizes:
-        try:
-            fps = run(pipe, attempt)
-            size = attempt
-            break
-        except Exception as e:  # OOM fallback ladder
-            print(f"bench at {attempt} failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
-    if fps is None:
-        print(json.dumps({"metric": "error", "value": 0,
-                          "unit": "frames/sec/chip", "vs_baseline": 0}))
+    args = sys.argv[1:]
+    if args and args[0] == "--stage":
+        stage = args[1]
+        if stage == "e2e":
+            print(json.dumps(stage_e2e(int(args[2]))))
+        elif stage == "components":
+            print(json.dumps(stage_components(int(args[2]))))
         return
 
-    ref_fps = REF_BASELINE_FPS_320 * (320.0 / size) ** 2
-    result = {
-        "metric": f"e2e 4x upscale {size}x{size}->{4 * size}x{4 * size}, "
-                  f"{STEPS} DDIM steps + CFG + VAE decode, frames/sec/chip",
-        "value": round(fps, 4),
-        "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / ref_fps, 3),
-    }
-    print(json.dumps(result))
+    # parent: try stages with wall-clock budgets, emit the first success
+    me = os.path.abspath(__file__)
+    attempts = [
+        (["--stage", "e2e", "256"], 560),
+        (["--stage", "components", "256"], 560),
+        (["--stage", "components", "128"], 400),
+    ]
+    for stage_args, budget in attempts:
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-u", me, *stage_args],
+                capture_output=True, text=True, timeout=budget,
+            )
+            sys.stderr.write(proc.stderr[-2000:])
+            for line in proc.stdout.strip().splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    print(line)
+                    return
+        except subprocess.TimeoutExpired:
+            print(f"stage {stage_args} exceeded {budget}s", file=sys.stderr)
+    print(json.dumps({"metric": "error: all bench stages timed out", "value": 0,
+                      "unit": "frames/sec/chip", "vs_baseline": 0}))
 
 
 if __name__ == "__main__":

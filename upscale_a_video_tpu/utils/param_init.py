@@ -24,7 +24,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def fast_init(model, *args, seed: int = 0, **kwargs) -> Any:
+def fast_init(model, *args, seed: int = 0, zeros: bool = False, **kwargs) -> Any:
+    """``zeros=True`` fills kernels with device-side zeros (norm scales with
+    ones) — no host→device transfer at all. Timing-identical for benchmarks
+    (params are runtime inputs, XLA cannot fold them), numerically degenerate.
+    """
     shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), *args, **kwargs))
     rng = np.random.RandomState(seed)
 
@@ -35,6 +39,8 @@ def fast_init(model, *args, seed: int = 0, **kwargs) -> Any:
         if name in ("scale", "var"):
             return jnp.ones(shape, dtype)
         if name in ("bias", "mean"):
+            return jnp.zeros(shape, dtype)
+        if zeros:
             return jnp.zeros(shape, dtype)
         arr = rng.normal(0.0, 0.02, size=shape).astype(np.float32)
         return jnp.asarray(arr, dtype)
