@@ -125,6 +125,51 @@ class BasicEncoder(nn.Module):
         return nn.Conv(self.output_dim, (1, 1), name="conv2")(x)
 
 
+class BottleneckBlock(nn.Module):
+    """ref extractor.py:60-116 (small encoder's residual unit)."""
+
+    planes: int
+    norm_fn: str = "instance"
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        p4 = self.planes // 4
+        y = nn.Conv(p4, (1, 1), name="conv1")(x)
+        y = _Norm(self.norm_fn, p4, name="norm1")(y)
+        y = jax.nn.relu(y)
+        y = nn.Conv(p4, (3, 3), strides=(self.stride, self.stride),
+                    padding=((1, 1), (1, 1)), name="conv2")(y)
+        y = _Norm(self.norm_fn, p4, name="norm2")(y)
+        y = jax.nn.relu(y)
+        y = nn.Conv(self.planes, (1, 1), name="conv3")(y)
+        y = _Norm(self.norm_fn, self.planes, name="norm3")(y)
+        y = jax.nn.relu(y)
+        if self.stride != 1:
+            x = nn.Conv(self.planes, (1, 1), strides=(self.stride, self.stride),
+                        name="downsample_0")(x)
+            x = _Norm(self.norm_fn, self.planes, name="norm4")(x)
+        return jax.nn.relu(x + y)
+
+
+class SmallEncoder(nn.Module):
+    """ref extractor.py:195-267: 32/64/96 bottleneck stages."""
+
+    output_dim: int = 128
+    norm_fn: str = "instance"
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(32, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    name="conv1")(x)
+        x = _Norm(self.norm_fn, 32, name="norm1")(x)
+        x = jax.nn.relu(x)
+        for i, (dim, stride) in enumerate([(32, 1), (64, 2), (96, 2)], start=1):
+            x = BottleneckBlock(dim, self.norm_fn, stride, name=f"layer{i}_0")(x)
+            x = BottleneckBlock(dim, self.norm_fn, 1, name=f"layer{i}_1")(x)
+        return nn.Conv(self.output_dim, (1, 1), name="conv2")(x)
+
+
 # ------------------------------------------------------------ update block
 
 
@@ -193,6 +238,50 @@ class BasicUpdateBlock(nn.Module):
         return net, 0.25 * mask, delta_flow
 
 
+class ConvGRU(nn.Module):
+    """ref update.py:16-31 (small update block's GRU)."""
+
+    hidden_dim: int = 96
+
+    @nn.compact
+    def __call__(self, h, x):
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = jax.nn.sigmoid(nn.Conv(self.hidden_dim, (3, 3), padding="SAME",
+                                   name="convz")(hx))
+        r = jax.nn.sigmoid(nn.Conv(self.hidden_dim, (3, 3), padding="SAME",
+                                   name="convr")(hx))
+        q = jnp.tanh(nn.Conv(self.hidden_dim, (3, 3), padding="SAME", name="convq")(
+            jnp.concatenate([r * h, x], axis=-1)))
+        return (1 - z) * h + z * q
+
+
+class SmallMotionEncoder(nn.Module):
+    """ref update.py:62-77 (corr_levels=4, radius=3 → 196 corr planes)."""
+
+    @nn.compact
+    def __call__(self, flow, corr):
+        cor = jax.nn.relu(nn.Conv(96, (1, 1), name="convc1")(corr))
+        flo = jax.nn.relu(nn.Conv(64, (7, 7), padding="SAME", name="convf1")(flow))
+        flo = jax.nn.relu(nn.Conv(32, (3, 3), padding="SAME", name="convf2")(flo))
+        out = jax.nn.relu(nn.Conv(80, (3, 3), padding="SAME", name="conv_")(
+            jnp.concatenate([cor, flo], axis=-1)))
+        return jnp.concatenate([out, flow], axis=-1)
+
+
+class SmallUpdateBlock(nn.Module):
+    """ref update.py:99-112: no convex-upsample mask (bilinear ×8 instead)."""
+
+    hidden_dim: int = 96
+
+    @nn.compact
+    def __call__(self, net, inp, corr, flow):
+        motion = SmallMotionEncoder(name="encoder")(flow, corr)
+        inp = jnp.concatenate([inp, motion], axis=-1)
+        net = ConvGRU(self.hidden_dim, name="gru")(net, inp)
+        delta_flow = FlowHead(128, name="flow_head")(net)
+        return net, None, delta_flow
+
+
 # ------------------------------------------------------------- correlation
 
 
@@ -246,18 +335,39 @@ def lookup_corr(pyramid, coords, radius: int = 4):
 
 
 class RAFT(nn.Module):
-    """Full-size RAFT (small=False): hdim=cdim=128, 4 levels, radius 4."""
+    """RAFT (ref raft.py:24-56). Default = full size ("raft-things":
+    hdim=cdim=128, radius 4, convex upsampling); ``small=True`` builds the
+    bottleneck variant (hdim 96, cdim 64, radius 3, bilinear ×8 upsampling)."""
 
-    hidden_dim: int = 128
-    context_dim: int = 128
+    small: bool = False
+    hidden_dim: Optional[int] = None
+    context_dim: Optional[int] = None
     corr_levels: int = 4
-    corr_radius: int = 4
+    corr_radius: Optional[int] = None
+
+    @property
+    def _hdim(self):
+        return self.hidden_dim or (96 if self.small else 128)
+
+    @property
+    def _cdim(self):
+        return self.context_dim or (64 if self.small else 128)
+
+    @property
+    def _radius(self):
+        return self.corr_radius or (3 if self.small else 4)
 
     def setup(self):
-        self.fnet = BasicEncoder(output_dim=256, norm_fn="instance")
-        self.cnet = BasicEncoder(output_dim=self.hidden_dim + self.context_dim,
-                                 norm_fn="batch")
-        self.update_block = BasicUpdateBlock(self.hidden_dim)
+        if self.small:
+            self.fnet = SmallEncoder(output_dim=128, norm_fn="instance")
+            self.cnet = SmallEncoder(output_dim=self._hdim + self._cdim,
+                                     norm_fn="none")
+            self.update_block = SmallUpdateBlock(self._hdim)
+        else:
+            self.fnet = BasicEncoder(output_dim=256, norm_fn="instance")
+            self.cnet = BasicEncoder(output_dim=self._hdim + self._cdim,
+                                     norm_fn="batch")
+            self.update_block = BasicUpdateBlock(self._hdim)
 
     def upsample_flow(self, flow, mask):
         """Convex ×8 upsampling (ref raft.py:73-84). flow (B,h,w,2), mask (B,h,w,576)."""
@@ -285,7 +395,7 @@ class RAFT(nn.Module):
         pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels)
 
         cnet = self.cnet(image1)
-        net, inp = jnp.split(cnet, [self.hidden_dim], axis=-1)
+        net, inp = jnp.split(cnet, [self._hdim], axis=-1)
         net = jnp.tanh(net)
         inp = jax.nn.relu(inp)
 
@@ -298,16 +408,25 @@ class RAFT(nn.Module):
 
         def step(update_block, carry, _):
             net, coords1 = carry
-            corr = lookup_corr(pyramid, coords1, self.corr_radius)
+            corr = lookup_corr(pyramid, coords1, self._radius)
             flow = coords1 - coords0
             net, up_mask, delta = update_block(net, inp, corr, flow)
+            if up_mask is None:  # small variant: no convex mask
+                up_mask = jnp.zeros((1,), jnp.float32)
             return (net, coords1 + delta), up_mask
 
         # lifted scan: params broadcast across the 20 iterations
         scan = nn.scan(step, variable_broadcast="params",
                        split_rngs={"params": False}, length=iters)
         (net, coords1), up_masks = scan(self.update_block, (net, coords1), None)
-        return self.upsample_flow(coords1 - coords0, up_masks[-1])
+        flow = coords1 - coords0
+        if self.small:
+            # upflow8: bilinear ×8 with magnitudes ×8 (ref utils/utils.py:80-82,
+            # align_corners=True)
+            h8, w8 = flow.shape[1:3]
+            return 8.0 * resize_2d(flow, (8 * h8, 8 * w8), "bilinear",
+                                   align_corners=True)
+        return self.upsample_flow(flow, up_masks[-1])
 
 
 # ----------------------------------------------------------- bi wrapper

@@ -174,6 +174,24 @@ UNET_RENAMES: Dict[str, str] = {
 VAE_RENAMES: Dict[str, str] = {}
 
 
+def from_pretrained_2d(
+    template_params,
+    torch_state_2d: Dict[str, np.ndarray],
+    renames: Optional[Dict[str, str]] = None,
+):
+    """Inflate 2-D (stable-diffusion-x4-upscaler) UNet weights into the video
+    UNet template (ref unet_video.py:577-601 ``from_pretrained_2d``).
+
+    Spatial params load from the 2-D state dict; params whose torch key is
+    absent (all the ``temporal`` additions) keep their fresh template init —
+    exactly the reference's ``state_dict.update`` of new keys. Returns
+    (params, report); combine with ``training.temporal_param_mask`` to freeze
+    the loaded subset (ref :597-600).
+    """
+    return convert_state_dict(template_params, torch_state_2d, renames=renames,
+                              strict=False)
+
+
 def load_torch_state(path: str) -> Dict[str, np.ndarray]:
     """Load a torch ``.bin``/``.pth`` state dict into numpy (host-side)."""
     import torch
