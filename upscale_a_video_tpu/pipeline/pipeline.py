@@ -180,7 +180,8 @@ class VideoUpscalePipeline:
             latents, _ = jax.lax.scan(body, latents, (timesteps, prop_flags))
             return latents
 
-        return jax.jit(denoise)
+        # donate the latent buffer: the scan carry reuses its HBM allocation
+        return jax.jit(denoise, donate_argnums=(0,))
 
     # --------------------------------------------------------- decode
 
