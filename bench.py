@@ -15,6 +15,7 @@ denominator is a cost-model estimate of the torch reference on H100:
 0.25 frames/s at 320² ⇒ 0.25·(320/size)² at other sizes.
 """
 
+import functools
 import json
 import math
 import os
@@ -143,9 +144,10 @@ def stage_components(size: int) -> dict:
     ctx = jnp.zeros((2, 77, 1024), jnp.bfloat16)
 
     @jax.jit
-    def unet_step(lat, lr, ctx):
-        return unet.apply(unet_params, lat, jnp.int32(500), lr, ctx, jnp.int32(120))
+    def unet_step(params, lat, lr, ctx):
+        return unet.apply(params, lat, jnp.int32(500), lr, ctx, jnp.int32(120))
 
+    unet_step = functools.partial(unet_step, unet_params)
     unet_step(lat, lr, ctx).block_until_ready()
     t0 = time.time()
     reps = 3
@@ -159,9 +161,10 @@ def stage_components(size: int) -> dict:
     z = jnp.zeros((1, 3, size, size, 4), jnp.bfloat16)
 
     @jax.jit
-    def decode(z):
-        return vae.apply(vae_params, z, method=vae.decode)
+    def decode(params, z):
+        return vae.apply(params, z, method=vae.decode)
 
+    decode = functools.partial(decode, vae_params)
     decode(z).block_until_ready()
     t0 = time.time()
     for _ in range(reps):

@@ -124,11 +124,11 @@ class LlavaCaptioner:
         self._generate_cache = {}
 
     def _build_generate(self, prompt_len: int, n_patches: int):
-        model, params = self.model, self.params
+        model = self.model
         total = prompt_len - 1 + n_patches
         max_len = total + self.max_new_tokens
 
-        def generate(input_ids, pixels, image_pos, key):
+        def generate(params, input_ids, pixels, image_pos, key):
             img = model.apply(params, pixels, method=model.encode_image)
             emb = model.apply(params, input_ids, img, image_pos,
                               method=model.splice)
@@ -163,7 +163,7 @@ class LlavaCaptioner:
             self._generate_cache[cache_key] = self._build_generate(
                 input_ids.shape[1], n_patches)
         out = self._generate_cache[cache_key](
-            jnp.asarray(input_ids), jnp.asarray(pixels), image_pos,
+            self.params, jnp.asarray(input_ids), jnp.asarray(pixels), image_pos,
             jax.random.PRNGKey(seed))
         return np.asarray(out)
 

@@ -439,7 +439,12 @@ class RaftRunner:
     iters: int = 20
 
     def _flow_fn(self):
-        return lambda i1, i2: self.model.apply(self.params, i1, i2, self.iters)
+        # params as a jit ARGUMENT (a closure would embed them as HLO consts)
+        jfn = jax.jit(
+            lambda params, i1, i2: self.model.apply(params, i1, i2, self.iters)
+        )
+        params = self.params
+        return lambda i1, i2: jfn(params, i1, i2)
 
 
 def load_raft(model_path: Optional[str], iters: int = 20) -> RaftRunner:

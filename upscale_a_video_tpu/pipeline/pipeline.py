@@ -76,8 +76,11 @@ class VideoUpscalePipeline:
         self.window_group = window_group
         self._denoise_cache = {}
         self._decode_cache = {}
+        # NB: params are ARGUMENTS of every jitted function here, never
+        # closures — closed-over arrays embed as HLO constants, which for
+        # ~10⁹ parameters makes XLA compiles pathologically slow.
         self._encode_text = jax.jit(
-            lambda ids: self.m.text_encoder.apply(self.m.text_params, ids)
+            lambda params, ids: self.m.text_encoder.apply(params, ids)
         )
 
     # ----------------------------------------------------------- text
@@ -91,12 +94,12 @@ class VideoUpscalePipeline:
         """CLIP-encode prompts; CFG concat [uncond, cond]
         (ref :177-321, order fixed at :314-321)."""
         ids = jnp.asarray(self.m.tokenizer(list(prompt)))
-        cond = self._encode_text(ids)
+        cond = self._encode_text(self.m.text_params, ids)
         if not do_cfg:
             return cond
         neg = negative_prompt if negative_prompt is not None else [""] * len(prompt)
         nids = jnp.asarray(self.m.tokenizer(list(neg)))
-        uncond = self._encode_text(nids)
+        uncond = self._encode_text(self.m.text_params, nids)
         return jnp.concatenate([uncond, cond], axis=0)
 
     # -------------------------------------------------------- denoise
@@ -122,10 +125,10 @@ class VideoUpscalePipeline:
         prop_flags = jnp.asarray(np.asarray(prop_mask, dtype=bool))
         sched = self.m.scheduler
         unet = self.m.unet
-        unet_params = self.m.unet_params
         group = self.window_group if self.window_group > 0 else n_win
 
-        def unet_on_windows(latent_in, image_in, tstep, prompt_embeds, denoise_level):
+        def unet_on_windows(unet_params, latent_in, image_in, tstep, prompt_embeds,
+                            denoise_level):
             """latent_in/image_in: (Bc, T, H, W, C) → noise pred (Bc, T, H, W, 4)."""
             bc = latent_in.shape[0]
             # gather windows: (Bc, N, win, H, W, C) → (N, Bc, win, H, W, C)
@@ -153,13 +156,13 @@ class VideoUpscalePipeline:
             # out[b, t] = Σ_{n,k} blend[n,k,t] · preds[n,b,k]
             return jnp.einsum("nkt,nbkhwc->bthwc", blend, preds)
 
-        def denoise(latents, image_noised, prompt_embeds, denoise_level,
-                    flows_f, flows_b):
+        def denoise(unet_params, latents, image_noised, prompt_embeds,
+                    denoise_level, flows_f, flows_b):
             def body(lat, step_in):
                 tstep, do_prop = step_in
                 latent_in = jnp.concatenate([lat, lat]) if do_cfg else lat
                 noise_pred = unet_on_windows(
-                    latent_in.astype(self.dtype), image_noised, tstep,
+                    unet_params, latent_in.astype(self.dtype), image_noised, tstep,
                     prompt_embeds, denoise_level,
                 )
                 noise_pred = noise_pred.astype(jnp.float32)
@@ -181,18 +184,17 @@ class VideoUpscalePipeline:
             return latents
 
         # donate the latent buffer: the scan carry reuses its HBM allocation
-        return jax.jit(denoise, donate_argnums=(0,))
+        return jax.jit(denoise, donate_argnums=(1,))
 
     # --------------------------------------------------------- decode
 
     def _build_decode(self, chunk_frames: int, w_lr: float):
         vae = self.m.vae
-        vae_params = self.m.vae_params
         scaling = self.m.vae.config.scaling_factor
         cond = self.m.vae.config.condition_img
         ddt = self.decode_dtype
 
-        def decode(latents, image_dec):
+        def decode(vae_params, latents, image_dec):
             z = (latents / scaling).astype(ddt)
             img = image_dec.astype(ddt) if cond else None
             out = vae.apply(
@@ -212,7 +214,8 @@ class VideoUpscalePipeline:
             key = (e - s, float(w_lr))
             if key not in self._decode_cache:
                 self._decode_cache[key] = self._build_decode(e - s, w_lr)
-            outs.append(self._decode_cache[key](latents[:, s:e], image_dec[:, s:e]))
+            outs.append(self._decode_cache[key](
+                self.m.vae_params, latents[:, s:e], image_dec[:, s:e]))
         return jnp.concatenate(outs, axis=1)
 
     # --------------------------------------------------------- __call__
@@ -288,7 +291,8 @@ class VideoUpscalePipeline:
                 prop_mask if has_flows else (False,) * num_inference_steps, has_flows,
             )
         latents = self._denoise_cache[cache_key](
-            latents, image_noised, prompt_embeds, denoise_level, flows_f, flows_b
+            self.m.unet_params, latents, image_noised, prompt_embeds,
+            denoise_level, flows_f, flows_b
         )
 
         images = self.decode_latents(latents, image_dec, w_lr)
