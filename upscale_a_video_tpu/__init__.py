@@ -19,3 +19,23 @@ Subpackages
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy public API (avoids importing jax at package import)."""
+    if name == "VideoUpscalePipeline":
+        from .pipeline.pipeline import VideoUpscalePipeline
+        return VideoUpscalePipeline
+    if name == "load_pipeline":
+        from .pipeline.loader import load_pipeline
+        return load_pipeline
+    if name == "UNetVideoModel":
+        from .models.unet_video import UNetVideoModel
+        return UNetVideoModel
+    if name == "AutoencoderKLVideo":
+        from .models.vae import AutoencoderKLVideo
+        return AutoencoderKLVideo
+    if name == "DDIMScheduler":
+        from .sampling import DDIMScheduler
+        return DDIMScheduler
+    raise AttributeError(name)

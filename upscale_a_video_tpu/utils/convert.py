@@ -203,3 +203,59 @@ def load_torch_state(path: str) -> Dict[str, np.ndarray]:
         sd = sd["state_dict"]
     return {k: v.float().numpy() if hasattr(v, "numpy") else np.asarray(v)
             for k, v in sd.items()}
+
+
+def convert_bundle(model_dir: str, out_dir: Optional[str] = None) -> None:
+    """Offline conversion of a released weight bundle to Orbax checkpoints.
+
+    Usage: python -m upscale_a_video_tpu.utils.convert <model_dir>
+    Converts unet/vae(/text_encoder/raft) .bin files next to themselves (or
+    under ``out_dir``) so pipeline loads skip torch entirely.
+    """
+    import jax.numpy as jnp
+
+    from ..config import UNetVideoConfig, VaeConfig
+    from ..models import AutoencoderKLVideo, UNetVideoModel
+    from .checkpoint import save_params
+    from .param_init import fast_init
+    from pathlib import Path
+
+    root = Path(model_dir)
+    out_root = Path(out_dir) if out_dir else root
+
+    unet_bin = root / "unet/unet_video.bin"
+    if unet_bin.exists():
+        cfg = UNetVideoConfig.from_json(root / "unet/unet_video_config.json")
+        model = UNetVideoModel(cfg)
+        tpl = fast_init(model, jnp.zeros((1, 2, 16, 16, 4)), 0,
+                        jnp.zeros((1, 2, 16, 16, 3)),
+                        jnp.zeros((1, 77, cfg.cross_attention_dim)), 0)
+        params, report = convert_state_dict(tpl["params"],
+                                            load_torch_state(str(unet_bin)))
+        save_params(str(out_root / "unet/orbax"), {"params": params})
+        print(f"unet: converted ({len(report['unused'])} unused keys)")
+
+    for name in ("vae_3d", "vae_video"):
+        vae_bin = root / f"vae/{name}.bin"
+        if not vae_bin.exists():
+            continue
+        cfg = VaeConfig.from_json(root / f"vae/{name}_config.json")
+        model = AutoencoderKLVideo(cfg)
+        if cfg.condition_img:
+            enc = fast_init(model, jnp.zeros((1, 1, 16, 16, 3)),
+                            method=model.encode_moments)
+            dec = fast_init(model, jnp.zeros((1, 1, 16, 16, cfg.latent_channels)),
+                            method=model.decode, img=jnp.zeros((1, 1, 16, 16, 3)))
+            tpl = {"params": {**enc["params"], **dec["params"]}}
+        else:
+            tpl = fast_init(model, jnp.zeros((1, 1, 16, 16, 3)))
+        params, report = convert_state_dict(tpl["params"],
+                                            load_torch_state(str(vae_bin)))
+        save_params(str(out_root / f"vae/{name}_orbax"), {"params": params})
+        print(f"{name}: converted ({len(report['unused'])} unused keys)")
+
+
+if __name__ == "__main__":
+    import sys
+
+    convert_bundle(*sys.argv[1:])
