@@ -167,8 +167,13 @@ class LlavaCaptioner:
             jax.random.PRNGKey(seed))
         return np.asarray(out)
 
-    def caption(self, image_u8: np.ndarray, seed: int = 0) -> str:
-        """Full pipeline: preprocess + template + generate + decode."""
+    def caption(self, image_u8: np.ndarray, seed: int = 0,
+                stop_strings: tuple = ("</s>",)) -> str:
+        """Full pipeline: preprocess + template + generate + decode.
+
+        ``stop_strings`` mirror the reference's KeywordsStoppingCriteria
+        (llava/mm_utils.py:76): decoding also stops when a keyword appears in
+        the decoded text."""
         from .conversation import build_caption_prompt, preprocess_image
 
         assert self.tokenizer is not None, "tokenizer required for caption()"
@@ -180,4 +185,8 @@ class LlavaCaptioner:
             if int(t) == self.eos_token_id:
                 break
             toks.append(int(t))
-        return self.tokenizer.decode(toks, skip_special_tokens=True).strip()
+        text = self.tokenizer.decode(toks, skip_special_tokens=True)
+        for kw in stop_strings:
+            if kw in text:
+                text = text.split(kw)[0]
+        return text.strip()

@@ -136,12 +136,23 @@ def load_pipeline(
     if not random_init:
         if root is None:
             raise ValueError("model_dir is required unless random_init=True")
-        unet_bin = root / "unet/unet_video.bin"
-        unet_params = {"params": convert_state_dict(
-            unet_params["params"], load_torch_state(str(unet_bin)))[0]}
-        vae_bin = root / f"vae/{vae_name}.bin"
-        vae_params = {"params": convert_state_dict(
-            vae_params["params"], load_torch_state(str(vae_bin)))[0]}
+        from ..utils.checkpoint import load_params as load_orbax
+
+        # prefer pre-converted Orbax checkpoints (utils.convert.convert_bundle)
+        unet_orbax = root / "unet/orbax"
+        if unet_orbax.exists():
+            unet_params = load_orbax(str(unet_orbax), unet_params)
+        else:
+            unet_bin = root / "unet/unet_video.bin"
+            unet_params = {"params": convert_state_dict(
+                unet_params["params"], load_torch_state(str(unet_bin)))[0]}
+        vae_orbax = root / f"vae/{vae_name}_orbax"
+        if vae_orbax.exists():
+            vae_params = load_orbax(str(vae_orbax), vae_params)
+        else:
+            vae_bin = root / f"vae/{vae_name}.bin"
+            vae_params = {"params": convert_state_dict(
+                vae_params["params"], load_torch_state(str(vae_bin)))[0]}
         text_bin = root / "text_encoder/pytorch_model.bin"
         if text_bin.exists():
             clip_params = {"params": convert_state_dict(
