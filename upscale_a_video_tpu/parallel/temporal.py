@@ -12,10 +12,15 @@ computation is distributed over a 1-D ``time`` mesh axis (SURVEY §5.7):
   first-window contribution is the "later" one, matching the serial order);
 - the globally-last chunk right-aligns its last window locally.
 
-The window *plan* therefore matches the reference exactly when
-``T_local % stride == 0`` and chunks tile T; chunk count 1 degenerates to the
-serial plan. Communication per denoise step is 2 frames of noise-pred per
-chip — tiny against the UNet compute it overlaps with.
+The window *plan* matches the reference exactly when ``T_local % stride == 0``
+and chunks tile T; one chunk degenerates to the serial plan. Communication per
+step is ``window - stride`` frames of noise-pred per chip — tiny against the
+UNet compute it overlaps.
+
+``windowed_apply_local`` is usable inside any existing ``shard_map`` (the
+sharded denoise pipeline, parallel/sharded_pipeline.py, scans over timesteps
+around it); ``sharded_windowed_apply`` wraps it for standalone use. Inputs may
+be pytrees sharing the frame axis (latents + LR frames).
 """
 
 from __future__ import annotations
@@ -30,124 +35,122 @@ from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def chunked_window_starts(t_local: int, window: int, stride: int,
-                          is_last: bool) -> Tuple[Tuple[int, int], ...]:
-    """Local (start, needs_halo) plan for one chunk."""
-    starts = []
-    for s in range(0, t_local, stride):
-        if s + window <= t_local:
-            starts.append((s, False))
-        elif not is_last:
-            starts.append((s, True))  # spills into right halo
-        else:
-            starts.append((max(t_local - window, 0), False))  # right-align
-            break
-    return tuple(starts)
+def windowed_apply_local(
+    fn: Callable,
+    xs,                      # pytree of (B, T_local, ...) arrays (same T axis)
+    axis: str,
+    n_chunks: int,
+    window: int = 8,
+    stride: int = 6,
+):
+    """Run ``fn`` over temporal windows of time-sharded tensors with
+    reference-equivalent overlap averaging. Must execute inside a shard_map
+    over ``axis``. fn: pytree of (B, window, ...) → (B, window, ...) array."""
+    overlap = window - stride
+    leaves = jax.tree.leaves(xs)
+    b, t_local = leaves[0].shape[0], leaves[0].shape[1]
+    assert t_local % stride == 0 and t_local >= window, (
+        f"T_local={t_local} must be a multiple of stride {stride} and >= window"
+    )
+    idx = jax.lax.axis_index(axis) if n_chunks > 1 else 0
+    is_last = idx == n_chunks - 1
+
+    if n_chunks == 1:
+        # serial plan on one chip (exactly the reference loop)
+        starts = [s for s in range(0, t_local, stride)]
+        out = None
+        cover = None
+        for s in starts:
+            if s + window <= t_local:
+                a, e = s, s + window
+            else:
+                a, e = t_local - window, t_local
+            pred = fn(jax.tree.map(lambda x: x[:, a:e], xs))
+            if out is None:
+                out = jnp.zeros((b, t_local) + pred.shape[2:], pred.dtype)
+                cover = jnp.zeros((b, t_local) + (1,) * (pred.ndim - 2), pred.dtype)
+            seg = out[:, a:e]
+            cov = cover[:, a:e]
+            new = jnp.where(cov > 0, 0.5 * seg + 0.5 * pred, pred)
+            out = out.at[:, a:e].set(new)
+            cover = cover.at[:, a:e].set(1.0)
+            if e == t_local and s + window > t_local:
+                break
+        return out
+
+    # multi-chunk: gather right halo, compute local + spill windows, exchange
+    halo = jax.tree.map(
+        lambda x: jax.lax.ppermute(
+            x[:, :overlap], axis,
+            [(i, (i - 1) % n_chunks) for i in range(n_chunks)]),
+        xs,
+    )
+    xs_ext = jax.tree.map(
+        lambda x, h: jnp.concatenate([x, h], axis=1), xs, halo)
+
+    starts_full = [s for s in range(0, t_local, stride) if s + window <= t_local]
+
+    def blend_static(out, cover, pred, start):
+        seg = out[:, start:start + window]
+        cov = cover[:, start:start + window]
+        new = jnp.where(cov > 0, 0.5 * seg + 0.5 * pred, pred)
+        out = out.at[:, start:start + window].set(new)
+        cover = cover.at[:, start:start + window].set(1.0)
+        return out, cover
+
+    first_pred = fn(jax.tree.map(lambda x: x[:, 0:window], xs_ext))
+    out = jnp.zeros((b, t_local + overlap) + first_pred.shape[2:], first_pred.dtype)
+    cover = jnp.zeros((b, t_local + overlap) + (1,) * (first_pred.ndim - 2),
+                      first_pred.dtype)
+    out, cover = blend_static(out, cover, first_pred, 0)
+    for s in starts_full[1:]:
+        out, cover = blend_static(out, cover,
+                                  fn(jax.tree.map(lambda x: x[:, s:s + window],
+                                                  xs_ext)), s)
+
+    # spill window: start t_local - stride (non-last) or right-aligned (last)
+    spill_start = jnp.where(is_last, t_local - window, t_local - stride)
+    spill_xs = jax.tree.map(
+        lambda x: jax.lax.dynamic_slice_in_dim(x, spill_start, window, axis=1),
+        xs_ext)
+    spill_pred = fn(spill_xs)
+    seg = jax.lax.dynamic_slice_in_dim(out, spill_start, window, axis=1)
+    cov = jax.lax.dynamic_slice_in_dim(cover, spill_start, window, axis=1)
+    new = jnp.where(cov > 0, 0.5 * seg + 0.5 * spill_pred, spill_pred)
+    out = jax.lax.dynamic_update_slice_in_dim(out, new, spill_start, axis=1)
+
+    # ship spill tail right: it is the EARLIER contribution for the neighbor's
+    # first `overlap` frames
+    spill_tail = out[:, t_local:]
+    has_spill = jnp.where(is_last, 0.0, 1.0).astype(out.dtype)
+    spill_tail = spill_tail * has_spill
+    perm_r = [(i, (i + 1) % n_chunks) for i in range(n_chunks)]
+    recv = jax.lax.ppermute(spill_tail, axis, perm_r)
+    recv_valid = jax.lax.ppermute(jnp.broadcast_to(has_spill, (1,)), axis, perm_r)[0]
+
+    head = out[:, :overlap]
+    head = jnp.where(recv_valid > 0, 0.5 * recv + 0.5 * head, head)
+    return jnp.concatenate([head, out[:, overlap:t_local]], axis=1)
 
 
 def sharded_windowed_apply(
-    fn: Callable[[jax.Array], jax.Array],
+    fn: Callable,
     mesh: Mesh,
     axis: str = "time",
     window: int = 8,
     stride: int = 6,
 ):
-    """Build a shard_map'ped function applying ``fn`` over temporal windows of
-    a time-sharded video tensor with reference-equivalent overlap averaging.
-
-    fn: (B, window, H, W, C) → (B, window, H, W, C') per-window model call
-        (already closed over params/timestep/etc.).
-    Returns g(x (B, T, H, W, C) sharded on axis 1) → (B, T, H, W, C').
-    """
+    """Standalone shard_map wrapper over :func:`windowed_apply_local` for a
+    single (B, T, ...) tensor sharded on axis 1."""
     n_chunks = mesh.shape[axis]
-    overlap = window - stride
 
     def local_fn(x):
-        # x: (B, T_local + halo?, ...) — we receive the full local chunk and
-        # gather the halo from the right neighbor via ppermute.
-        idx = jax.lax.axis_index(axis)
-        b, t_local = x.shape[0], x.shape[1]
-        is_last = idx == n_chunks - 1
-
-        # left-edge frames of each chunk, shipped left so every chip can build
-        # its spill window: neighbor's first (window - stride) frames... the
-        # spill window needs `window - (t_local - start)` frames from the
-        # right; with t_local % stride == 0 the spill start is
-        # t_local - stride → needs (window - stride) halo frames.
-        halo_src = x[:, :overlap]  # my first `overlap` frames
-        # send left: chip i receives chip (i+1)'s first frames
-        perm = [(i, (i - 1) % n_chunks) for i in range(n_chunks)]
-        halo = jax.lax.ppermute(halo_src, axis, perm)
-        x_ext = jnp.concatenate([x, halo], axis=1)  # (B, T_local + overlap, ...)
-
-        # windows fully inside the chunk (same count on every chip)
-        n_full = t_local // stride - 1  # starts 0..t_local-2*stride... compute
-        starts_full = [s for s in range(0, t_local, stride) if s + window <= t_local]
-        preds = []
-        weights = []  # scatter weight layout per window over t_local + overlap
-
-        acc = jnp.zeros((b, t_local + overlap) + x.shape[2:-1] + (0,), x.dtype)
-
-        # accumulate with sequential-blend weights computed on the fly:
-        # within a chunk windows are processed in order; cross-chunk the
-        # received spill is always "earlier" than local windows.
-        out = None
-        cover = None
-
-        def blend(out, cover, pred, start):
-            seg = out[:, start:start + window]
-            cov = cover[:, start:start + window]
-            new = jnp.where(cov > 0, 0.5 * seg + 0.5 * pred, pred)
-            out = jax.lax.dynamic_update_slice_in_dim(out, new, start, axis=1)
-            cover = jax.lax.dynamic_update_slice_in_dim(
-                cover, jnp.ones_like(cov), start, axis=1)
-            return out, cover
-
-        # probe output channel count with the first full window
-        first_pred = fn(x_ext[:, 0:window])
-        out = jnp.zeros((b, t_local + overlap) + first_pred.shape[2:], first_pred.dtype)
-        cover = jnp.zeros((b, t_local + overlap) + (1,) * (first_pred.ndim - 2),
-                          first_pred.dtype)
-        out, cover = blend(out, cover, first_pred, 0)
-
-        for s in starts_full[1:]:
-            out, cover = blend(out, cover, fn(x_ext[:, s:s + window]), s)
-
-        # spill window (start = t_local - stride) for non-last chunks; the
-        # last chunk right-aligns (start = t_local - window) instead.
-        spill_start_nonlast = t_local - stride
-        spill_start_last = t_local - window
-        spill_start = jnp.where(is_last, spill_start_last, spill_start_nonlast)
-        spill_x = jax.lax.dynamic_slice_in_dim(x_ext, spill_start, window, axis=1)
-        spill_pred = fn(spill_x)
-        # scatter at the dynamic start (blend with existing coverage)
-        seg = jax.lax.dynamic_slice_in_dim(out, spill_start, window, axis=1)
-        cov = jax.lax.dynamic_slice_in_dim(cover, spill_start, window, axis=1)
-        new = jnp.where(cov > 0, 0.5 * seg + 0.5 * spill_pred, spill_pred)
-        out = jax.lax.dynamic_update_slice_in_dim(out, new, spill_start, axis=1)
-
-        # ship the spill's halo part (last `overlap` frames of non-last chunks)
-        # right, where it is the EARLIER contribution for the neighbor's first
-        # `overlap` frames
-        spill_tail = out[:, t_local:]
-        has_spill = jnp.where(is_last, 0.0, 1.0).astype(out.dtype)
-        spill_tail = spill_tail * has_spill
-        perm_r = [(i, (i + 1) % n_chunks) for i in range(n_chunks)]
-        recv = jax.lax.ppermute(spill_tail, axis, perm_r)
-        recv_valid = jax.lax.ppermute(
-            jnp.broadcast_to(has_spill, (1,)), axis, perm_r)[0]
-
-        head = out[:, :overlap]
-        # neighbor's contribution came first in serial order → 0.5·recv + 0.5·mine
-        head = jnp.where(recv_valid > 0, 0.5 * recv + 0.5 * head, head)
-        out = jnp.concatenate([head, out[:, overlap:t_local]], axis=1)
-        return out
+        return windowed_apply_local(lambda w: fn(w), x, axis, n_chunks,
+                                    window, stride)
 
     in_spec = P(None, axis)
-    return shard_map(
-        local_fn, mesh=mesh, in_specs=(in_spec,), out_specs=in_spec,
-        check_rep=False,
-    )
+    return shard_map(local_fn, mesh=mesh, in_specs=(in_spec,),
+                     out_specs=in_spec, check_rep=False)
 
 
 def reference_windowed_apply(fn, x, window: int = 8, stride: int = 6):
@@ -156,8 +159,7 @@ def reference_windowed_apply(fn, x, window: int = 8, stride: int = 6):
     b, t = x.shape[:2]
     out_slots = [None] * t
     if t <= window:
-        pred = fn(x)
-        return pred
+        return fn(x)
     for start in range(0, t, stride):
         end = min(t, start + window)
         if end - start < window:

@@ -74,6 +74,7 @@ class VideoUpscalePipeline:
         self.unet_stride = unet_stride
         self.decode_chunk = decode_chunk
         self.window_group = window_group
+        self._offload = False
         self._denoise_cache = {}
         self._decode_cache = {}
         # NB: params are ARGUMENTS of every jitted function here, never
@@ -82,6 +83,30 @@ class VideoUpscalePipeline:
         self._encode_text = jax.jit(
             lambda params, ids: self.m.text_encoder.apply(params, ids)
         )
+
+    # --------------------------------------------------------- offload
+
+    def enable_model_offload(self, enabled: bool = True):
+        """HBM-residency analog of the reference's accelerate CPU-offload
+        hooks (pipeline_upscale_a_video.py:113-154): with offload on, each
+        model's params live in host RAM and are staged into HBM only for its
+        stage (UNet for the denoise scan, VAE for decode), freeing HBM for
+        activations on large tiles/long clips."""
+        self._offload = enabled
+        if enabled:
+            cpu = jax.devices("cpu")[0]
+            self.m.unet_params = jax.device_put(self.m.unet_params, cpu)
+            self.m.vae_params = jax.device_put(self.m.vae_params, cpu)
+
+    def _stage_params(self, params):
+        if not self._offload:
+            return params
+        return jax.device_put(params, jax.devices()[0])
+
+    def _unstage(self, params):
+        if not self._offload:
+            return params
+        return jax.device_put(params, jax.devices("cpu")[0])
 
     # ----------------------------------------------------------- text
 
@@ -209,14 +234,19 @@ class VideoUpscalePipeline:
                        w_lr: float = 1.0) -> jax.Array:
         """Chunked conditional decode (ref :683-702)."""
         t = latents.shape[1]
+        vae_params = self._stage_params(self.m.vae_params)
         outs = []
         for (s, e) in chunk_starts(t, self.decode_chunk):
             key = (e - s, float(w_lr))
             if key not in self._decode_cache:
                 self._decode_cache[key] = self._build_decode(e - s, w_lr)
             outs.append(self._decode_cache[key](
-                self.m.vae_params, latents[:, s:e], image_dec[:, s:e]))
-        return jnp.concatenate(outs, axis=1)
+                vae_params, latents[:, s:e], image_dec[:, s:e]))
+        out = jnp.concatenate(outs, axis=1)
+        if self._offload:
+            out.block_until_ready()
+            del vae_params
+        return out
 
     # --------------------------------------------------------- __call__
 
@@ -290,10 +320,14 @@ class VideoUpscalePipeline:
                 (b, t, h, w), num_inference_steps, do_cfg, float(guidance_scale),
                 prop_mask if has_flows else (False,) * num_inference_steps, has_flows,
             )
+        unet_params = self._stage_params(self.m.unet_params)
         latents = self._denoise_cache[cache_key](
-            self.m.unet_params, latents, image_noised, prompt_embeds,
+            unet_params, latents, image_noised, prompt_embeds,
             denoise_level, flows_f, flows_b
         )
+        if self._offload:
+            latents.block_until_ready()
+            del unet_params
 
         images = self.decode_latents(latents, image_dec, w_lr)
         if return_latents:
