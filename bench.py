@@ -147,13 +147,17 @@ def stage_components(size: int) -> dict:
     def unet_step(params, lat, lr, ctx):
         return unet.apply(params, lat, jnp.int32(500), lr, ctx, jnp.int32(120))
 
+    import numpy as np
+
     unet_step = functools.partial(unet_step, unet_params)
-    unet_step(lat, lr, ctx).block_until_ready()
+    np.asarray(unet_step(lat, lr, ctx)[0, 0, 0, 0])  # compile + warm
     t0 = time.time()
     reps = 3
     for _ in range(reps):
         out = unet_step(lat, lr, ctx)
-    out.block_until_ready()
+    # force full completion: device→host readback (block_until_ready is
+    # unreliable through the axon tunnel)
+    np.asarray(out[0, 0, 0, 0])
     t_unet = (time.time() - t0) / reps
     print(f"[components {size}] unet step: {t_unet * 1e3:.1f} ms", file=sys.stderr)
 
@@ -165,11 +169,11 @@ def stage_components(size: int) -> dict:
         return vae.apply(params, z, method=vae.decode)
 
     decode = functools.partial(decode, vae_params)
-    decode(z).block_until_ready()
+    np.asarray(decode(z)[0, 0, 0, 0])
     t0 = time.time()
     for _ in range(reps):
         out = decode(z)
-    out.block_until_ready()
+    np.asarray(out[0, 0, 0, 0])
     t_dec = (time.time() - t0) / reps
     print(f"[components {size}] vae 3-frame decode: {t_dec * 1e3:.1f} ms",
           file=sys.stderr)
