@@ -102,18 +102,25 @@ def stage_e2e(size: int) -> dict:
     jax = _setup_jax()
     import jax.numpy as jnp
 
+    import numpy as np
+
     pipe = build_pipeline()
     img = jax.random.uniform(jax.random.PRNGKey(1), (1, FRAMES, size, size, 3),
                              jnp.float32, -1, 1)
+
+    def run_once():
+        out = pipe("bench", img, num_inference_steps=STEPS, guidance_scale=6.0,
+                   noise_level=120)
+        # force completion with a scalar readback — block_until_ready is
+        # unreliable through the axon tunnel
+        np.asarray(out[0, 0, 0, 0])
+        return out
+
     t0 = time.time()
-    out = pipe("bench", img, num_inference_steps=STEPS, guidance_scale=6.0,
-               noise_level=120)
-    out.block_until_ready()
+    out = run_once()
     print(f"[e2e {size}] compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
     t0 = time.time()
-    out = pipe("bench", img, num_inference_steps=STEPS, guidance_scale=6.0,
-               noise_level=120)
-    out.block_until_ready()
+    out = run_once()
     dt = time.time() - t0
     assert out.shape == (1, FRAMES, size * 4, size * 4, 3)
     return _result(size, FRAMES / dt, "measured")

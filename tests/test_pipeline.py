@@ -103,3 +103,24 @@ def test_noise_level_bound(tiny_pipeline):
     img = jnp.zeros((1, 2, 16, 16, 3))
     with pytest.raises(ValueError):
         tiny_pipeline("x", img, noise_level=351)
+
+
+class TestCheckInputs:
+    def test_bad_image_shape(self, tiny_pipeline):
+        import pytest
+
+        with pytest.raises(ValueError):
+            tiny_pipeline("x", jnp.zeros((1, 16, 16, 3)))  # 4-D
+
+    def test_batch_mismatch(self, tiny_pipeline):
+        import pytest
+
+        with pytest.raises(ValueError):
+            tiny_pipeline(["a", "b"], jnp.zeros((1, 2, 16, 16, 3)),
+                          num_inference_steps=1)
+
+    def test_channels_last_required(self, tiny_pipeline):
+        import pytest
+
+        with pytest.raises(ValueError):
+            tiny_pipeline("x", jnp.zeros((1, 2, 3, 16, 16)))  # NCHW-ish

@@ -248,6 +248,29 @@ class VideoUpscalePipeline:
             del vae_params
         return out
 
+    # --------------------------------------------------------- validation
+
+    def check_inputs(self, prompt, image, noise_level, negative_prompt):
+        """Input validation (ref check_inputs :356-418)."""
+        if prompt is not None and not isinstance(prompt, (str, list)):
+            raise ValueError(f"`prompt` must be str or list, got {type(prompt)}")
+        if negative_prompt is not None and not isinstance(negative_prompt, (str, list)):
+            raise ValueError(
+                f"`negative_prompt` must be str or list, got {type(negative_prompt)}")
+        if image is None:
+            raise ValueError("`image` input cannot be undefined")
+        if getattr(image, "ndim", None) != 5:
+            raise ValueError(
+                f"`image` must be (B, T, H, W, 3), got shape {getattr(image, 'shape', None)}")
+        if image.shape[-1] != 3:
+            raise ValueError(f"`image` must be channels-last RGB, got {image.shape}")
+        if noise_level > self.MAX_NOISE_LEVEL:
+            raise ValueError(
+                f"`noise_level` has to be <= {self.MAX_NOISE_LEVEL} but is {noise_level}")
+        if isinstance(prompt, list) and image.shape[0] != len(prompt):
+            raise ValueError(
+                f"batch mismatch: {len(prompt)} prompts vs {image.shape[0]} clips")
+
     # --------------------------------------------------------- __call__
 
     def __call__(
@@ -267,8 +290,7 @@ class VideoUpscalePipeline:
     ):
         """Mirror of the reference __call__ (ref :436-717). Returns images
         (B, T, 4H, 4W, 3) in [-1, 1]."""
-        if noise_level > self.MAX_NOISE_LEVEL:
-            raise ValueError(f"noise_level {noise_level} > {self.MAX_NOISE_LEVEL}")
+        self.check_inputs(prompt, image, noise_level, negative_prompt)
         if isinstance(prompt, str):
             prompt = [prompt]
         if isinstance(negative_prompt, str):
