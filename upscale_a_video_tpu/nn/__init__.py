@@ -15,9 +15,16 @@ from .attention import (
     BasicTransformerBlock,
     Transformer3DModel,
     SpatialAttentionBlock,
+    SparseCausalAttention,
     FeedForward,
 )
 from .temporal import TemporalModule3D, TemporalModule3DVAE
+from .temporal_transformer import (
+    AdaLayerNorm,
+    TemporalTransformer3DModel,
+    VersatileSelfAttention,
+    WarpModule,
+)
 
 __all__ = [
     "InflatedConv",
