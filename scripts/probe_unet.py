@@ -3,6 +3,7 @@
 Writes progressive results to scripts/probe_unet.log; forces completion via
 scalar readback (axon block_until_ready is unreliable)."""
 import time, os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 log = open(os.path.join(os.path.dirname(__file__), 'probe_unet.log'), 'w', buffering=1)
 import jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

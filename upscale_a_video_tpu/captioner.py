@@ -81,7 +81,23 @@ class HFCaptioner:
 
 
 def build_captioner(load_8bit: bool = False) -> Optional[Callable[[np.ndarray], str]]:
-    """Best-available captioner, or None (≡ --no_llava)."""
+    """Best-available captioner, or None (≡ --no_llava).
+
+    Backends by env var, in priority order:
+    - ``UAV_CAPTION_JAX_MODEL``: JAX LLaVA (models/llava) from an HF checkpoint
+      dir — runs on the TPU alongside the upscaler
+    - ``UAV_CAPTION_ENDPOINT``: external HTTP captioning service
+    - ``UAV_CAPTION_MODEL``: HF image-to-text pipeline (torch CPU)
+    """
+    jax_model_dir = os.environ.get("UAV_CAPTION_JAX_MODEL")
+    if jax_model_dir:
+        try:
+            from .models.llava.loader import load_llava_captioner
+
+            cap = load_llava_captioner(jax_model_dir)
+            return lambda frame_u8: cap.caption(frame_u8)
+        except Exception as e:  # noqa: BLE001
+            print(f"jax llava unavailable ({e}); trying other backends")
     endpoint = os.environ.get("UAV_CAPTION_ENDPOINT")
     if endpoint:
         return EndpointCaptioner(endpoint)

@@ -1,0 +1,100 @@
+"""LLaVA weight loading: HF llava-v1.5 checkpoint directory → LlavaCaptioner.
+
+Handles sharded .bin/.safetensors state dicts, optional delta application
+(ref llava/model/apply_delta.py), and tokenizer loading. Configs are read from
+the checkpoint's config.json (text + vision sub-configs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+
+def _load_sharded_state(model_dir: Path) -> dict:
+    sd = {}
+    bins = sorted(model_dir.glob("pytorch_model*.bin"))
+    if bins:
+        import torch
+
+        for b in bins:
+            part = torch.load(str(b), map_location="cpu", weights_only=True)
+            sd.update({k: v.float().numpy() for k, v in part.items()})
+        return sd
+    safes = sorted(model_dir.glob("*.safetensors"))
+    if safes:
+        from safetensors.numpy import load_file
+
+        for s in safes:
+            sd.update(load_file(str(s)))
+        return sd
+    raise FileNotFoundError(f"no weights in {model_dir}")
+
+
+def load_llava_captioner(
+    model_dir: str,
+    base_dir: Optional[str] = None,
+    dtype=None,
+    max_new_tokens: int = 64,
+):
+    """Build a :class:`LlavaCaptioner` from an HF checkpoint directory.
+
+    ``base_dir`` applies the checkpoint as a delta over a base LLaMA
+    (ref apply_delta.py semantics).
+    """
+    import jax.numpy as jnp
+
+    from .clip_vision import CLIPVisionConfig
+    from .convert import LLAVA_RENAMES, apply_delta
+    from .llama import LlamaConfig
+    from .llava import LlavaCaptioner, LlavaConfig, LlavaModel
+    from ...utils.convert import convert_state_dict
+    from ...utils.param_init import fast_init
+
+    root = Path(model_dir)
+    with open(root / "config.json") as f:
+        hf_cfg = json.load(f)
+
+    text_cfg = LlamaConfig.from_dict(hf_cfg)
+    vis = hf_cfg.get("vision_config", {})
+    vision_cfg = CLIPVisionConfig.from_dict(vis) if vis else CLIPVisionConfig()
+    cfg = LlavaConfig(vision=vision_cfg, text=text_cfg)
+
+    model = LlavaModel(cfg, dtype=dtype or jnp.bfloat16)
+    img_size = vision_cfg.image_size
+    pixels0 = jnp.zeros((1, img_size, img_size, 3))
+    ids0 = jnp.zeros((1, 8), jnp.int32)
+
+    def full(mdl, pixels, ids):
+        img = mdl.encode_image(pixels)
+        emb = mdl.splice(ids, img, 1)
+        return mdl.prefill(emb, 16)
+
+    import jax
+
+    template = fast_init(model, pixels0, ids0, method=full, zeros=True)
+
+    sd = _load_sharded_state(root)
+    if base_dir is not None:
+        base = _load_sharded_state(Path(base_dir))
+        sd = apply_delta(base, sd)
+
+    params, report = convert_state_dict(template["params"], sd,
+                                        renames=LLAVA_RENAMES, strict=False)
+    if report["missing"]:
+        print(f"llava: {len(report['missing'])} params kept at init "
+              f"(e.g. {report['missing'][:3]})")
+
+    try:
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(str(root), use_fast=False)
+    except Exception:
+        tokenizer = None
+
+    return LlavaCaptioner(model, {"params": params}, tokenizer=tokenizer,
+                          max_new_tokens=max_new_tokens)
