@@ -13,7 +13,7 @@ base + delta elementwise, vocab rows appended) when a base state dict is given.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -17,7 +17,7 @@ tokens (ref llava/llava_agent.py:81-102). The conversation template
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -8,11 +8,8 @@ the checkpoint's config.json (text + vision sub-configs).
 from __future__ import annotations
 
 import json
-import os
 from pathlib import Path
 from typing import Optional
-
-import numpy as np
 
 
 def _load_sharded_state(model_dir: Path) -> dict:
@@ -73,8 +70,6 @@ def load_llava_captioner(
         img = mdl.encode_image(pixels)
         emb = mdl.splice(ids, img, 1)
         return mdl.prefill(emb, 16)
-
-    import jax
 
     template = fast_init(model, pixels0, ids0, method=full, zeros=True)
 

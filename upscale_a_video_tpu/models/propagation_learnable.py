@@ -15,8 +15,6 @@ scan so flax never creates variables inside the loop.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ expressed as a batched tile grid rather than a Python loop.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax

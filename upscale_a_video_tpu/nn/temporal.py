@@ -18,7 +18,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .blocks import InflatedConv, ResnetBlock3D, ResnetBlock3DCNN, TemporalConv
+from .blocks import InflatedConv, ResnetBlock3D, ResnetBlock3DCNN
 
 
 class TemporalModule3D(nn.Module):

@@ -7,10 +7,9 @@ than per-block flags.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from .attention import SpatialAttentionBlock, Transformer3DModel

@@ -15,7 +15,6 @@ Softmax is computed in fp32 regardless of the IO dtype (bf16 in production).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

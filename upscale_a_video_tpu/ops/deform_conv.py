@@ -20,7 +20,7 @@ supported; matches torchvision semantics.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,8 +15,6 @@ last-axis order (x, y) normalized to [-1, 1].
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

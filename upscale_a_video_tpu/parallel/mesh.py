@@ -15,7 +15,7 @@ reserved for the halo-exchange temporal-chunk pipeline (parallel/temporal.py).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np

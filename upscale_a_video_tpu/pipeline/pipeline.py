@@ -22,15 +22,13 @@ Data layout: video tensors are channels-last (B, T, H, W, C) in [-1, 1].
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import UNetVideoConfig, VaeConfig
-from ..models.clip_text import CLIPTextConfig, CLIPTextModel
+from ..models.clip_text import CLIPTextModel
 from ..models.propagation import propagate_latents
 from ..models.unet_video import UNetVideoModel
 from ..models.vae import AutoencoderKLVideo
@@ -99,14 +97,11 @@ class VideoUpscalePipeline:
             self.m.vae_params = jax.device_put(self.m.vae_params, cpu)
 
     def _stage_params(self, params):
+        """Offload mode: copy params host→HBM for the stage; the caller drops
+        the reference afterwards, freeing the HBM copy."""
         if not self._offload:
             return params
         return jax.device_put(params, jax.devices()[0])
-
-    def _unstage(self, params):
-        if not self._offload:
-            return params
-        return jax.device_put(params, jax.devices("cpu")[0])
 
     # ----------------------------------------------------------- text
 

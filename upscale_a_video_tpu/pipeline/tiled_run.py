@@ -11,11 +11,9 @@ reference semantics).
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Optional, Sequence, Tuple
-
 import numpy as np
 
-from .tiling import TileSpec, plan_tiles
+from .tiling import plan_tiles
 
 
 def run_tiled(

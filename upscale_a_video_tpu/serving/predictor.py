@@ -14,7 +14,7 @@ from __future__ import annotations
 import os
 import secrets
 import time
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

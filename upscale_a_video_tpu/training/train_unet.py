@@ -11,7 +11,7 @@ mesh (parallel/mesh.py supplies the shardings).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

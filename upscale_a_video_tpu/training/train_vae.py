@@ -16,7 +16,7 @@ alternate exactly like the reference's optimizer_idx switch.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -14,7 +14,7 @@ from __future__ import annotations
 import contextlib
 import time
 from collections import OrderedDict
-from typing import Iterator, Optional
+from typing import Iterator
 
 import jax
 
