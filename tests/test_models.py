@@ -167,3 +167,24 @@ class TestVaeVideo:
         assert cfg.condition_img
         assert cfg.condition_channels == 128
         assert cfg.is_plus
+
+
+class TestRemat:
+    def test_remat_same_output_and_grads_work(self):
+        model = UNetVideoModel(TINY_UNET)
+        model_r = UNetVideoModel(TINY_UNET, use_remat=True)
+        sample = jax.random.normal(jax.random.PRNGKey(20), (1, 2, 8, 8, 4))
+        low_res = jax.random.normal(jax.random.PRNGKey(21), (1, 2, 8, 8, 3))
+        ctx = jax.random.normal(jax.random.PRNGKey(22), (1, 3, 16))
+        params = model.init(jax.random.PRNGKey(23), sample, 10, low_res, ctx, 20)
+
+        a = model.apply(params, sample, 10, low_res, ctx, 20)
+        b = model_r.apply(params, sample, 10, low_res, ctx, 20)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+        def loss(p):
+            return jnp.mean(model_r.apply(p, sample, 10, low_res, ctx, 20) ** 2)
+
+        grads = jax.grad(loss)(params)
+        leaves = jax.tree.leaves(grads)
+        assert all(np.isfinite(np.asarray(g)).all() for g in leaves)

@@ -38,6 +38,16 @@ class UNetVideoModel(nn.Module):
     config: UNetVideoConfig
     dtype: Optional[jnp.dtype] = None
     param_dtype: jnp.dtype = jnp.float32
+    # rematerialize each down/mid/up block on the backward pass — the TPU
+    # equivalent of the reference's gradient checkpointing plumbing
+    # (unet_video.py:400-402, unet_blocks.py:359-375): trades recompute FLOPs
+    # for activation HBM during temporal-adapter training.
+    use_remat: bool = False
+
+    def _maybe_remat(self, block_cls):
+        if not self.use_remat:
+            return block_cls
+        return nn.remat(block_cls, static_argnums=())
 
     @nn.compact
     def __call__(
@@ -94,7 +104,7 @@ class UNetVideoModel(nn.Module):
             output_channel = cfg.block_out_channels[i]
             is_final = i == n_blocks - 1
             if block_type == "CrossAttnDownBlock3D":
-                sample, res_samples = CrossAttnDownBlock3D(
+                sample, res_samples = self._maybe_remat(CrossAttnDownBlock3D)(
                     in_channels=input_channel, out_channels=output_channel,
                     temb_channels=temb_ch, num_layers=cfg.layers_per_block,
                     resnet_eps=cfg.norm_eps, resnet_act_fn=cfg.act_fn,
@@ -108,7 +118,7 @@ class UNetVideoModel(nn.Module):
                     dtype=dt, param_dtype=self.param_dtype, name=f"down_blocks_{i}",
                 )(sample, emb, ctx)
             elif block_type == "DownBlock3D":
-                sample, res_samples = DownBlock3D(
+                sample, res_samples = self._maybe_remat(DownBlock3D)(
                     in_channels=input_channel, out_channels=output_channel,
                     temb_channels=temb_ch, num_layers=cfg.layers_per_block,
                     resnet_eps=cfg.norm_eps, resnet_act_fn=cfg.act_fn,
@@ -122,14 +132,14 @@ class UNetVideoModel(nn.Module):
             down_block_res_samples += res_samples
 
             if i in cfg.down_temporal_idx:
-                sample = TemporalModule3D(
+                sample = self._maybe_remat(TemporalModule3D)(
                     in_channels=output_channel, temb_channels=temb_ch,
                     groups=min(32, cfg.norm_num_groups),
                     dtype=dt, param_dtype=self.param_dtype, name=f"down_temp_blocks_{i}",
                 )(sample, emb)
 
         # mid
-        sample = UNetMidBlock3DCrossAttn(
+        sample = self._maybe_remat(UNetMidBlock3DCrossAttn)(
             in_channels=cfg.block_out_channels[-1], temb_channels=temb_ch,
             resnet_eps=cfg.norm_eps, resnet_act_fn=cfg.act_fn,
             resnet_groups=cfg.norm_num_groups,
@@ -139,7 +149,7 @@ class UNetVideoModel(nn.Module):
             dtype=dt, param_dtype=self.param_dtype, name="mid_block",
         )(sample, emb, ctx)
         if cfg.mid_temporal:
-            sample = TemporalModule3D(
+            sample = self._maybe_remat(TemporalModule3D)(
                 in_channels=cfg.block_out_channels[-1], temb_channels=temb_ch,
                 groups=min(32, cfg.norm_num_groups),
                 dtype=dt, param_dtype=self.param_dtype, name="mid_temp_block",
@@ -167,7 +177,7 @@ class UNetVideoModel(nn.Module):
                 upsample_size = down_block_res_samples[-1].shape[2:4]
 
             if block_type == "CrossAttnUpBlock3D":
-                sample = CrossAttnUpBlock3D(
+                sample = self._maybe_remat(CrossAttnUpBlock3D)(
                     in_channels=input_channel, out_channels=output_channel,
                     prev_output_channel=prev_output_channel, temb_channels=temb_ch,
                     num_layers=num_layers, resnet_eps=cfg.norm_eps,
@@ -180,7 +190,7 @@ class UNetVideoModel(nn.Module):
                     dtype=dt, param_dtype=self.param_dtype, name=f"up_blocks_{i}",
                 )(sample, res_samples, emb, ctx, upsample_size)
             elif block_type == "UpBlock3D":
-                sample = UpBlock3D(
+                sample = self._maybe_remat(UpBlock3D)(
                     in_channels=input_channel, out_channels=output_channel,
                     prev_output_channel=prev_output_channel, temb_channels=temb_ch,
                     num_layers=num_layers, resnet_eps=cfg.norm_eps,
@@ -192,7 +202,7 @@ class UNetVideoModel(nn.Module):
                 raise ValueError(f"unknown up block {block_type}")
 
             if i in cfg.up_temporal_idx:
-                sample = TemporalModule3D(
+                sample = self._maybe_remat(TemporalModule3D)(
                     in_channels=output_channel, temb_channels=temb_ch,
                     groups=min(32, cfg.norm_num_groups),
                     dtype=dt, param_dtype=self.param_dtype, name=f"up_temp_blocks_{i}",
