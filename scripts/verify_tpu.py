@@ -1,0 +1,98 @@
+"""On-hardware verification: run this on a TPU host to validate the kernels
+and the flagship pipeline end to end (the CPU test suite cannot cover
+compiled-Mosaic behavior).
+
+    python scripts/verify_tpu.py            # kernels + tiny pipeline smoke
+    python scripts/verify_tpu.py --full     # + full-size e2e at 256
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def check(name, fn):
+    t0 = time.time()
+    try:
+        fn()
+        print(f"[ok]   {name} ({time.time() - t0:.1f}s)")
+        return True
+    except Exception as e:  # noqa: BLE001
+        print(f"[FAIL] {name}: {type(e).__name__}: {e}")
+        return False
+
+
+def flash_attention_check():
+    from upscale_a_video_tpu.ops.attention import attention_xla
+    from upscale_a_video_tpu.ops.flash_attention import flash_attention
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (2, 1024, 128), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (2, 1024, 128), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (2, 1024, 128), jnp.bfloat16)
+    want = np.asarray(attention_xla(q, k, v, 0.088), np.float32)
+    got = np.asarray(flash_attention(q, k, v, 0.088), np.float32)
+    np.testing.assert_allclose(got, want, atol=3e-2)
+
+
+def fused_gn_check():
+    import flax.linen as nn
+
+    from upscale_a_video_tpu.ops.fused_groupnorm import fused_group_norm
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 32, 32, 256), jnp.bfloat16)
+    scale = jnp.ones((256,), jnp.float32)
+    bias = jnp.zeros((256,), jnp.float32)
+    got = np.asarray(fused_group_norm(x, scale, bias, 32, act="silu",
+                                      use_pallas=True), np.float32)
+    gn = nn.GroupNorm(num_groups=32, epsilon=1e-6)
+    want = np.asarray(jax.nn.silu(
+        gn.apply({"params": {"scale": scale, "bias": bias}}, x)), np.float32)
+    np.testing.assert_allclose(got, want, atol=3e-2)
+
+
+def flagship_forward_check():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    val = np.asarray(out[0, 0, 0, 0], np.float32)
+    assert np.isfinite(val)
+
+
+def full_e2e_check():
+    import subprocess
+
+    r = subprocess.run([sys.executable, "-u", "bench.py", "--stage", "e2e", "256"],
+                       capture_output=True, text=True, timeout=900)
+    print(r.stdout.strip().splitlines()[-1])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true")
+    args = ap.parse_args()
+
+    assert jax.devices()[0].platform == "tpu", "run on a TPU host"
+    ok = True
+    ok &= check("pallas flash attention vs XLA", flash_attention_check)
+    ok &= check("pallas fused groupnorm vs flax", fused_gn_check)
+    ok &= check("flagship UNet forward", flagship_forward_check)
+    if args.full:
+        ok &= check("full e2e bench @256", full_e2e_check)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
