@@ -123,7 +123,8 @@ def stage_e2e(size: int) -> dict:
     out = run_once()
     dt = time.time() - t0
     assert out.shape == (1, FRAMES, size * 4, size * 4, 3)
-    return _result(size, FRAMES / dt, "measured")
+    return _result(size, FRAMES / dt,
+                   "measured, PAB" if pab else "measured")
 
 
 def stage_components(size: int) -> dict:
@@ -195,6 +196,8 @@ def main():
         stage = args[1]
         if stage == "e2e":
             print(json.dumps(stage_e2e(int(args[2]))))
+        elif stage == "e2e_pab":
+            print(json.dumps(stage_e2e(int(args[2]), pab=True)))
         elif stage == "components":
             print(json.dumps(stage_components(int(args[2]))))
         return

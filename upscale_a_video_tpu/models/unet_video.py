@@ -44,10 +44,25 @@ class UNetVideoModel(nn.Module):
     # for activation HBM during temporal-adapter training.
     use_remat: bool = False
 
-    def _maybe_remat(self, block_cls):
+    def _maybe_remat(self, block_cls, static_argnums=()):
         if not self.use_remat:
             return block_cls
-        return nn.remat(block_cls, static_argnums=())
+        return nn.remat(block_cls, static_argnums=static_argnums)
+
+    def make_pab_collect_cache(self):
+        """Empty cache structure for PAB: calling with this collects the
+        attention deltas of every transformer block (see nn/attention.py
+        BasicTransformerBlock._cached)."""
+        cfg = self.config
+        cache = {}
+        for i, bt in enumerate(cfg.down_block_types):
+            if bt == "CrossAttnDownBlock3D":
+                cache[f"down_{i}"] = tuple(({},) for _ in range(cfg.layers_per_block))
+        cache["mid"] = (({},),)
+        for i, bt in enumerate(cfg.up_block_types):
+            if bt == "CrossAttnUpBlock3D":
+                cache[f"up_{i}"] = tuple(({},) for _ in range(cfg.layers_per_block + 1))
+        return cache
 
     @nn.compact
     def __call__(
@@ -57,9 +72,13 @@ class UNetVideoModel(nn.Module):
         low_res: jax.Array,            # (B, T, H, W, 3) noised LR frames
         encoder_hidden_states: jax.Array,  # (B, S_txt, C_txt)
         class_labels,                  # noise level, scalar or (B,)
-    ) -> jax.Array:
+        attn_cache=None,               # PAB cache pytree (make_pab_collect_cache)
+        use_flags=None,                # {"cross","spatial","temporal"}: traced bools
+    ):
         cfg = self.config
         dt = self.dtype
+        want_cache = attn_cache is not None
+        new_cache = {}
 
         sample = jnp.concatenate([sample, low_res], axis=-1)
         b = sample.shape[0]
@@ -104,7 +123,7 @@ class UNetVideoModel(nn.Module):
             output_channel = cfg.block_out_channels[i]
             is_final = i == n_blocks - 1
             if block_type == "CrossAttnDownBlock3D":
-                sample, res_samples = self._maybe_remat(CrossAttnDownBlock3D)(
+                block = self._maybe_remat(CrossAttnDownBlock3D)(
                     in_channels=input_channel, out_channels=output_channel,
                     temb_channels=temb_ch, num_layers=cfg.layers_per_block,
                     resnet_eps=cfg.norm_eps, resnet_act_fn=cfg.act_fn,
@@ -116,7 +135,12 @@ class UNetVideoModel(nn.Module):
                     use_linear_projection=cfg.use_linear_projection,
                     only_cross_attention=cfg.only_cross_attention[i],
                     dtype=dt, param_dtype=self.param_dtype, name=f"down_blocks_{i}",
-                )(sample, emb, ctx)
+                )
+                if want_cache:
+                    sample, res_samples, new_cache[f"down_{i}"] = block(
+                        sample, emb, ctx, attn_cache[f"down_{i}"], use_flags)
+                else:
+                    sample, res_samples = block(sample, emb, ctx)
             elif block_type == "DownBlock3D":
                 sample, res_samples = self._maybe_remat(DownBlock3D)(
                     in_channels=input_channel, out_channels=output_channel,
@@ -139,7 +163,7 @@ class UNetVideoModel(nn.Module):
                 )(sample, emb)
 
         # mid
-        sample = self._maybe_remat(UNetMidBlock3DCrossAttn)(
+        mid_block = self._maybe_remat(UNetMidBlock3DCrossAttn)(
             in_channels=cfg.block_out_channels[-1], temb_channels=temb_ch,
             resnet_eps=cfg.norm_eps, resnet_act_fn=cfg.act_fn,
             resnet_groups=cfg.norm_num_groups,
@@ -147,7 +171,12 @@ class UNetVideoModel(nn.Module):
             cross_attention_dim=cfg.cross_attention_dim,
             use_linear_projection=cfg.use_linear_projection,
             dtype=dt, param_dtype=self.param_dtype, name="mid_block",
-        )(sample, emb, ctx)
+        )
+        if want_cache:
+            sample, new_cache["mid"] = mid_block(sample, emb, ctx,
+                                                 attn_cache["mid"], use_flags)
+        else:
+            sample = mid_block(sample, emb, ctx)
         if cfg.mid_temporal:
             sample = self._maybe_remat(TemporalModule3D)(
                 in_channels=cfg.block_out_channels[-1], temb_channels=temb_ch,
@@ -177,7 +206,7 @@ class UNetVideoModel(nn.Module):
                 upsample_size = down_block_res_samples[-1].shape[2:4]
 
             if block_type == "CrossAttnUpBlock3D":
-                sample = self._maybe_remat(CrossAttnUpBlock3D)(
+                block = self._maybe_remat(CrossAttnUpBlock3D, static_argnums=(5,))(
                     in_channels=input_channel, out_channels=output_channel,
                     prev_output_channel=prev_output_channel, temb_channels=temb_ch,
                     num_layers=num_layers, resnet_eps=cfg.norm_eps,
@@ -188,9 +217,15 @@ class UNetVideoModel(nn.Module):
                     use_linear_projection=cfg.use_linear_projection,
                     only_cross_attention=only_cross[i],
                     dtype=dt, param_dtype=self.param_dtype, name=f"up_blocks_{i}",
-                )(sample, res_samples, emb, ctx, upsample_size)
+                )
+                if want_cache:
+                    sample, new_cache[f"up_{i}"] = block(
+                        sample, res_samples, emb, ctx, upsample_size,
+                        attn_cache[f"up_{i}"], use_flags)
+                else:
+                    sample = block(sample, res_samples, emb, ctx, upsample_size)
             elif block_type == "UpBlock3D":
-                sample = self._maybe_remat(UpBlock3D)(
+                sample = self._maybe_remat(UpBlock3D, static_argnums=(4,))(
                     in_channels=input_channel, out_channels=output_channel,
                     prev_output_channel=prev_output_channel, temb_channels=temb_ch,
                     num_layers=num_layers, resnet_eps=cfg.norm_eps,
@@ -217,4 +252,6 @@ class UNetVideoModel(nn.Module):
         sample = InflatedConv(
             cfg.out_channels, (3, 3), dtype=dt, param_dtype=self.param_dtype, name="conv_out"
         )(sample)
+        if want_cache:
+            return sample, new_cache
         return sample

@@ -239,15 +239,34 @@ class BasicTransformerBlock(nn.Module):
     dtype: Optional[jnp.dtype] = None
     param_dtype: jnp.dtype = jnp.float32
 
+    def _cached(self, compute, cache, flag):
+        """Pyramid-Attention-Broadcast hook: reuse the cached attention delta
+        when ``flag`` is true, else recompute (PAPERS.md: PAB — attention
+        outputs drift slowly across denoise steps). ``lax.cond`` skips the
+        attention compute entirely on broadcast steps at runtime. During init
+        we always compute so flax creates the params."""
+        if cache is None or self.is_initializing():
+            return compute()
+        return jax.lax.cond(flag, lambda: cache, compute)
+
     @nn.compact
     def __call__(
         self,
         hidden_states: jax.Array,
         context: Optional[jax.Array],
         video_length: int,
-    ) -> jax.Array:
+        attn_cache: Optional[dict] = None,
+        use_flags: Optional[dict] = None,
+    ):
+        """Returns hidden_states, or (hidden_states, new_cache) when
+        ``attn_cache`` is given. Cache entries are the attention *deltas*
+        (post-projection outputs before the residual add)."""
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                        param_dtype=self.param_dtype, name=name)
+        want_cache = attn_cache is not None
+        cache_in = attn_cache or {}
+        flags = use_flags or {}
+        new_cache = {}
 
         # attn1: text-cross when only_cross_attention (3 of 4 levels in the
         # released config), otherwise spatial self-attention per frame.
@@ -258,16 +277,26 @@ class BasicTransformerBlock(nn.Module):
             heads=self.heads, dim_head=self.dim_head,
             dtype=self.dtype, param_dtype=self.param_dtype, name="attn1",
         )
-        hidden_states = attn1(h, context if self.only_cross_attention else None) + hidden_states
+        kind1 = "cross" if self.only_cross_attention else "spatial"
+        d1 = self._cached(
+            lambda: attn1(h, context if self.only_cross_attention else None),
+            cache_in.get("attn1"), flags.get(kind1, False),
+        )
+        new_cache["attn1"] = d1
+        hidden_states = d1 + hidden_states
 
         # attn2: text cross-attention
         if self.cross_attention_dim is not None:
             h = ln("norm2")(hidden_states)
-            hidden_states = CrossAttention(
+            attn2 = CrossAttention(
                 query_dim=self.dim, cross_attention_dim=self.cross_attention_dim,
                 heads=self.heads, dim_head=self.dim_head,
                 dtype=self.dtype, param_dtype=self.param_dtype, name="attn2",
-            )(h, context) + hidden_states
+            )
+            d2 = self._cached(lambda: attn2(h, context),
+                              cache_in.get("attn2"), flags.get("cross", False))
+            new_cache["attn2"] = d2
+            hidden_states = d2 + hidden_states
 
         # temporal attention: (B*T, S, C) -> (B*S, T, C) (ref attention.py:553-560)
         bt, s, c = hidden_states.shape
@@ -275,10 +304,14 @@ class BasicTransformerBlock(nn.Module):
         x = hidden_states.reshape(b, video_length, s, c).transpose(0, 2, 1, 3)
         x = x.reshape(b * s, video_length, c)
         h = ln("norm_temporal")(x)
-        x = TemporalAttention(
+        attn_t = TemporalAttention(
             query_dim=self.dim, heads=self.heads, dim_head=self.dim_head,
             dtype=self.dtype, param_dtype=self.param_dtype, name="attn_temporal",
-        )(h) + x
+        )
+        dt_ = self._cached(lambda: attn_t(h), cache_in.get("attn_temporal"),
+                           flags.get("temporal", False))
+        new_cache["attn_temporal"] = dt_
+        x = dt_ + x
         x = x.reshape(b, s, video_length, c).transpose(0, 2, 1, 3)
         hidden_states = x.reshape(bt, s, c)
 
@@ -287,6 +320,8 @@ class BasicTransformerBlock(nn.Module):
         hidden_states = FeedForward(
             self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="ff"
         )(h) + hidden_states
+        if want_cache:
+            return hidden_states, new_cache
         return hidden_states
 
 
@@ -309,11 +344,13 @@ class Transformer3DModel(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, context: Optional[jax.Array]) -> jax.Array:
+    def __call__(self, x: jax.Array, context: Optional[jax.Array],
+                 attn_cache=None, use_flags=None):
         from .blocks import ResnetBlock3DCNN  # local import to avoid cycle
 
         b, t, hh, ww, c = x.shape
         inner = self.heads * self.dim_head
+        want_cache = attn_cache is not None
 
         # 3D CNN for VSR (ref attention.py:323,368-371)
         x = ResnetBlock3DCNN(
@@ -343,18 +380,28 @@ class Transformer3DModel(nn.Module):
             # repeat per frame: (B, S, C) -> (B*T, S, C)
             ctx = jnp.repeat(context, t, axis=0)
 
+        new_caches = []
         for i in range(self.num_layers):
-            tokens = BasicTransformerBlock(
+            block = BasicTransformerBlock(
                 dim=inner, heads=self.heads, dim_head=self.dim_head,
                 cross_attention_dim=self.cross_attention_dim,
                 only_cross_attention=self.only_cross_attention,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"transformer_blocks_{i}",
-            )(tokens, ctx, video_length=t)
+            )
+            if want_cache:
+                tokens, cache_i = block(tokens, ctx, video_length=t,
+                                        attn_cache=attn_cache[i],
+                                        use_flags=use_flags)
+                new_caches.append(cache_i)
+            else:
+                tokens = block(tokens, ctx, video_length=t)
 
         tokens = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
                           name="proj_out")(tokens)
         out = tokens.reshape(b, t, hh, ww, c)
+        if want_cache:
+            return out + residual, tuple(new_caches)
         return out + residual
 
 

@@ -37,7 +37,10 @@ class CrossAttnDownBlock3D(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden_states, temb, encoder_hidden_states):
+    def __call__(self, hidden_states, temb, encoder_hidden_states,
+                 attn_caches=None, use_flags=None):
+        want_cache = attn_caches is not None
+        new_caches = []
         output_states = ()
         for i in range(self.num_layers):
             in_ch = self.in_channels if i == 0 else self.out_channels
@@ -47,7 +50,7 @@ class CrossAttnDownBlock3D(nn.Module):
                 groups=self.resnet_groups, non_linearity=self.resnet_act_fn,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"resnets_{i}",
             )(hidden_states, temb)
-            hidden_states = Transformer3DModel(
+            attn = Transformer3DModel(
                 heads=self.attn_num_head_channels,
                 dim_head=self.out_channels // self.attn_num_head_channels,
                 in_channels=self.out_channels,
@@ -56,7 +59,13 @@ class CrossAttnDownBlock3D(nn.Module):
                 use_linear_projection=self.use_linear_projection,
                 only_cross_attention=self.only_cross_attention,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"attentions_{i}",
-            )(hidden_states, encoder_hidden_states)
+            )
+            if want_cache:
+                hidden_states, c_i = attn(hidden_states, encoder_hidden_states,
+                                          attn_caches[i], use_flags)
+                new_caches.append(c_i)
+            else:
+                hidden_states = attn(hidden_states, encoder_hidden_states)
             output_states += (hidden_states,)
 
         if self.add_downsample:
@@ -66,6 +75,8 @@ class CrossAttnDownBlock3D(nn.Module):
             )(hidden_states)
             output_states += (hidden_states,)
 
+        if want_cache:
+            return hidden_states, output_states, tuple(new_caches)
         return hidden_states, output_states
 
 
@@ -123,7 +134,10 @@ class UNetMidBlock3DCrossAttn(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden_states, temb, encoder_hidden_states):
+    def __call__(self, hidden_states, temb, encoder_hidden_states,
+                 attn_caches=None, use_flags=None):
+        want_cache = attn_caches is not None
+        new_caches = []
         hidden_states = ResnetBlock3D(
             in_channels=self.in_channels, out_channels=self.in_channels,
             temb_channels=self.temb_channels, eps=self.resnet_eps,
@@ -131,7 +145,7 @@ class UNetMidBlock3DCrossAttn(nn.Module):
             dtype=self.dtype, param_dtype=self.param_dtype, name="resnets_0",
         )(hidden_states, temb)
         for i in range(self.num_layers):
-            hidden_states = Transformer3DModel(
+            attn = Transformer3DModel(
                 heads=self.attn_num_head_channels,
                 dim_head=self.in_channels // self.attn_num_head_channels,
                 in_channels=self.in_channels,
@@ -139,13 +153,21 @@ class UNetMidBlock3DCrossAttn(nn.Module):
                 norm_num_groups=self.resnet_groups,
                 use_linear_projection=self.use_linear_projection,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"attentions_{i}",
-            )(hidden_states, encoder_hidden_states)
+            )
+            if want_cache:
+                hidden_states, c_i = attn(hidden_states, encoder_hidden_states,
+                                          attn_caches[i], use_flags)
+                new_caches.append(c_i)
+            else:
+                hidden_states = attn(hidden_states, encoder_hidden_states)
             hidden_states = ResnetBlock3D(
                 in_channels=self.in_channels, out_channels=self.in_channels,
                 temb_channels=self.temb_channels, eps=self.resnet_eps,
                 groups=self.resnet_groups, non_linearity=self.resnet_act_fn,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"resnets_{i + 1}",
             )(hidden_states, temb)
+        if want_cache:
+            return hidden_states, tuple(new_caches)
         return hidden_states
 
 
@@ -171,7 +193,10 @@ class CrossAttnUpBlock3D(nn.Module):
 
     @nn.compact
     def __call__(self, hidden_states, res_hidden_states_tuple, temb,
-                 encoder_hidden_states, upsample_size=None):
+                 encoder_hidden_states, upsample_size=None,
+                 attn_caches=None, use_flags=None):
+        want_cache = attn_caches is not None
+        new_caches = []
         for i in range(self.num_layers):
             res_skip_channels = self.in_channels if i == self.num_layers - 1 else self.out_channels
             resnet_in_channels = self.prev_output_channel if i == 0 else self.out_channels
@@ -186,7 +211,7 @@ class CrossAttnUpBlock3D(nn.Module):
                 groups=self.resnet_groups, non_linearity=self.resnet_act_fn,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"resnets_{i}",
             )(hidden_states, temb)
-            hidden_states = Transformer3DModel(
+            attn = Transformer3DModel(
                 heads=self.attn_num_head_channels,
                 dim_head=self.out_channels // self.attn_num_head_channels,
                 in_channels=self.out_channels,
@@ -195,13 +220,21 @@ class CrossAttnUpBlock3D(nn.Module):
                 use_linear_projection=self.use_linear_projection,
                 only_cross_attention=self.only_cross_attention,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"attentions_{i}",
-            )(hidden_states, encoder_hidden_states)
+            )
+            if want_cache:
+                hidden_states, c_i = attn(hidden_states, encoder_hidden_states,
+                                          attn_caches[i], use_flags)
+                new_caches.append(c_i)
+            else:
+                hidden_states = attn(hidden_states, encoder_hidden_states)
 
         if self.add_upsample:
             hidden_states = Upsample3D(
                 self.out_channels, use_conv=True, dtype=self.dtype,
                 param_dtype=self.param_dtype, name="upsamplers_0",
             )(hidden_states, upsample_size)
+        if want_cache:
+            return hidden_states, tuple(new_caches)
         return hidden_states
 
 

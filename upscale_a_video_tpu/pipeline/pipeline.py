@@ -36,6 +36,38 @@ from ..sampling import DDIMScheduler, DDPMScheduler
 from .windows import chunk_starts, window_blend_matrix, window_starts
 
 
+@dataclasses.dataclass(frozen=True)
+class PABConfig:
+    """Pyramid Attention Broadcast (PAPERS.md): reuse attention deltas across
+    denoise steps. ``*_range`` = recompute every N steps inside
+    [start_step, end_step); outside that window everything is computed. The
+    paper's ordering (cross slowest, temporal, spatial fastest) is the default.
+    """
+
+    cross_range: int = 6
+    spatial_range: int = 2
+    temporal_range: int = 4
+    start_step: int = 2
+    end_step: int = 10**9  # default: until the end
+
+    def use_cached_flags(self, num_steps: int):
+        """(steps,) bool arrays per attention kind: True = reuse cache."""
+        steps = np.arange(num_steps)
+        inside = (steps >= self.start_step) & (steps < self.end_step)
+
+        def sched(rng):
+            if rng <= 1:
+                return np.zeros(num_steps, dtype=bool)
+            recompute = (steps - self.start_step) % rng == 0
+            return inside & ~recompute
+
+        return {
+            "cross": sched(self.cross_range),
+            "spatial": sched(self.spatial_range),
+            "temporal": sched(self.temporal_range),
+        }
+
+
 @dataclasses.dataclass
 class PipelineModules:
     """Models + params bundle. ``tokenizer`` is any callable mapping
@@ -64,6 +96,7 @@ class VideoUpscalePipeline:
         unet_stride: int = 6,
         decode_chunk: int = 3,
         window_group: int = 0,  # 0 = all windows in one batched UNet call
+        pab: Optional[PABConfig] = None,
     ):
         self.m = modules
         self.dtype = dtype
@@ -72,6 +105,10 @@ class VideoUpscalePipeline:
         self.unet_stride = unet_stride
         self.decode_chunk = decode_chunk
         self.window_group = window_group
+        self.pab = pab
+        if pab is not None and window_group:
+            raise ValueError("PAB requires the single batched-window path "
+                             "(window_group=0)")
         self._offload = False
         self._denoise_cache = {}
         self._decode_cache = {}
@@ -147,9 +184,13 @@ class VideoUpscalePipeline:
         unet = self.m.unet
         group = self.window_group if self.window_group > 0 else n_win
 
+        pab = self.pab
+        collect_struct = unet.make_pab_collect_cache() if pab is not None else None
+
         def unet_on_windows(unet_params, latent_in, image_in, tstep, prompt_embeds,
-                            denoise_level):
-            """latent_in/image_in: (Bc, T, H, W, C) → noise pred (Bc, T, H, W, 4)."""
+                            denoise_level, attn_cache=None, flags=None):
+            """latent_in/image_in: (Bc, T, H, W, C) → noise pred (Bc, T, H, W, 4)
+            [+ new attention cache under PAB]."""
             bc = latent_in.shape[0]
             # gather windows: (Bc, N, win, H, W, C) → (N, Bc, win, H, W, C)
             lat_w = jnp.moveaxis(latent_in[:, win_idx], 0, 1)
@@ -162,29 +203,57 @@ class VideoUpscalePipeline:
                 iw = iw.reshape(g * bc, win, h, w, iw.shape[-1])
                 emb = jnp.tile(prompt_embeds, (g, 1, 1))
                 lvl = jnp.tile(denoise_level, (g,))
+                if attn_cache is not None:
+                    out, cache = unet.apply(unet_params, lw, tstep, iw, emb, lvl,
+                                            attn_cache=attn_cache, use_flags=flags)
+                    return out.reshape(g, bc, win, h, w, out.shape[-1]), cache
                 out = unet.apply(unet_params, lw, tstep, iw, emb, lvl)
                 return out.reshape(g, bc, win, h, w, out.shape[-1])
 
+            new_cache = None
             if n_win % group == 0 and n_win > group:
                 lat_g = lat_w.reshape(n_win // group, group, *lat_w.shape[1:])
                 img_g = img_w.reshape(n_win // group, group, *img_w.shape[1:])
                 preds = jax.lax.map(run_group, (lat_g, img_g))
                 preds = preds.reshape(n_win, bc, win, h, w, -1)
             else:
-                preds = run_group((lat_w, img_w))
+                if attn_cache is not None:
+                    preds, new_cache = run_group((lat_w, img_w))
+                else:
+                    preds = run_group((lat_w, img_w))
             # recombine with the overlap-average weights:
             # out[b, t] = Σ_{n,k} blend[n,k,t] · preds[n,b,k]
-            return jnp.einsum("nkt,nbkhwc->bthwc", blend, preds)
+            out = jnp.einsum("nkt,nbkhwc->bthwc", blend, preds)
+            if attn_cache is not None:
+                return out, new_cache
+            return out
+
+        if pab is not None:
+            flag_arrays = pab.use_cached_flags(num_inference_steps)
+            pab_flags = {k: jnp.asarray(v) for k, v in flag_arrays.items()}
 
         def denoise(unet_params, latents, image_noised, prompt_embeds,
                     denoise_level, flows_f, flows_b):
-            def body(lat, step_in):
-                tstep, do_prop = step_in
+            def body(carry, step_in):
+                if pab is not None:
+                    lat, cache = carry
+                    tstep, do_prop, f_cross, f_spatial, f_temporal = step_in
+                    flags = {"cross": f_cross, "spatial": f_spatial,
+                             "temporal": f_temporal}
+                else:
+                    lat = carry
+                    tstep, do_prop = step_in
                 latent_in = jnp.concatenate([lat, lat]) if do_cfg else lat
-                noise_pred = unet_on_windows(
-                    unet_params, latent_in.astype(self.dtype), image_noised, tstep,
-                    prompt_embeds, denoise_level,
-                )
+                if pab is not None:
+                    noise_pred, cache = unet_on_windows(
+                        unet_params, latent_in.astype(self.dtype), image_noised,
+                        tstep, prompt_embeds, denoise_level, cache, flags,
+                    )
+                else:
+                    noise_pred = unet_on_windows(
+                        unet_params, latent_in.astype(self.dtype), image_noised,
+                        tstep, prompt_embeds, denoise_level,
+                    )
                 noise_pred = noise_pred.astype(jnp.float32)
                 if do_cfg:
                     uncond, cond = jnp.split(noise_pred, 2, axis=0)
@@ -198,7 +267,32 @@ class VideoUpscalePipeline:
                         x0,
                     )
                 lat = sched.step_vt(x0, noise_pred, tstep, lat, num_inference_steps)
+                if pab is not None:
+                    return (lat, cache), ()
                 return lat, ()
+
+            if pab is not None:
+                # zero-init cache with the collected structure's shapes
+                cache_shapes = jax.eval_shape(
+                    lambda p, l, i, e, lv: unet.apply(
+                        p, l, jnp.int32(0), i, e, lv,
+                        attn_cache=collect_struct,
+                        use_flags={"cross": False, "spatial": False,
+                                   "temporal": False})[1],
+                    unet_params,
+                    jnp.zeros((n_win * latents.shape[0] * (2 if do_cfg else 1),
+                               win, h, w, 4), self.dtype),
+                    jnp.zeros((n_win * latents.shape[0] * (2 if do_cfg else 1),
+                               win, h, w, 3), self.dtype),
+                    jnp.tile(prompt_embeds, (n_win, 1, 1)),
+                    jnp.tile(denoise_level, (n_win,)),
+                )
+                cache0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                      cache_shapes)
+                xs = (timesteps, prop_flags, pab_flags["cross"],
+                      pab_flags["spatial"], pab_flags["temporal"])
+                (latents, _), _ = jax.lax.scan(body, (latents, cache0), xs)
+                return latents
 
             latents, _ = jax.lax.scan(body, latents, (timesteps, prop_flags))
             return latents
