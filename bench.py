@@ -98,13 +98,17 @@ def _result(size: int, fps: float, note: str) -> dict:
     }
 
 
-def stage_e2e(size: int) -> dict:
+def stage_e2e(size: int, pab: bool = False) -> dict:
     jax = _setup_jax()
     import jax.numpy as jnp
 
     import numpy as np
 
     pipe = build_pipeline()
+    if pab:
+        from upscale_a_video_tpu.pipeline.pipeline import PABConfig
+
+        pipe.pab = PABConfig()
     img = jax.random.uniform(jax.random.PRNGKey(1), (1, FRAMES, size, size, 3),
                              jnp.float32, -1, 1)
 
