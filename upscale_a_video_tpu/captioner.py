@@ -94,7 +94,7 @@ def build_captioner(load_8bit: bool = False) -> Optional[Callable[[np.ndarray], 
         try:
             from .models.llava.loader import load_llava_captioner
 
-            cap = load_llava_captioner(jax_model_dir)
+            cap = load_llava_captioner(jax_model_dir, load_8bit=load_8bit)
             return lambda frame_u8: cap.caption(frame_u8)
         except Exception as e:  # noqa: BLE001
             print(f"jax llava unavailable ({e}); trying other backends")

@@ -113,9 +113,14 @@ class LlavaCaptioner:
 
     def __init__(self, model: LlavaModel, params, tokenizer=None,
                  max_new_tokens: int = 64, temperature: float = 0.2,
-                 top_p: float = 0.7, eos_token_id: int = 2):
+                 top_p: float = 0.7, eos_token_id: int = 2,
+                 quantized: bool = False):
         self.model = model
         self.params = params
+        # int8 weight-only storage (ref --load_8bit_llava / bitsandbytes,
+        # llava/model/builder.py:29-38): dequantized inside the jitted
+        # generate program so XLA fuses int8→bf16 into each matmul read.
+        self.quantized = quantized
         self.tokenizer = tokenizer
         self.max_new_tokens = max_new_tokens
         self.temperature = temperature
@@ -129,6 +134,10 @@ class LlavaCaptioner:
         max_len = total + self.max_new_tokens
 
         def generate(params, input_ids, pixels, image_pos, key):
+            if self.quantized:
+                from ...utils.quant import dequantize_tree
+
+                params = dequantize_tree(params, model.dtype or jnp.bfloat16)
             img = model.apply(params, pixels, method=model.encode_image)
             emb = model.apply(params, input_ids, img, image_pos,
                               method=model.splice)

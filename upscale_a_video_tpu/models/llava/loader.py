@@ -37,11 +37,14 @@ def load_llava_captioner(
     base_dir: Optional[str] = None,
     dtype=None,
     max_new_tokens: int = 64,
+    load_8bit: bool = False,
 ):
     """Build a :class:`LlavaCaptioner` from an HF checkpoint directory.
 
     ``base_dir`` applies the checkpoint as a delta over a base LLaMA
-    (ref apply_delta.py semantics).
+    (ref apply_delta.py semantics). ``load_8bit`` stores the large matmul
+    weights as per-channel int8 (ref llava/model/builder.py:29-38
+    bitsandbytes path; see utils/quant.py).
     """
     import jax.numpy as jnp
 
@@ -91,5 +94,13 @@ def load_llava_captioner(
     except Exception:
         tokenizer = None
 
+    if load_8bit:
+        from ...utils.quant import quantize_tree, tree_nbytes
+
+        full = tree_nbytes(params)
+        params = quantize_tree(params)
+        print(f"llava: int8 weight-only quantization "
+              f"{full / 1e9:.2f} GB → {tree_nbytes(params) / 1e9:.2f} GB")
+
     return LlavaCaptioner(model, {"params": params}, tokenizer=tokenizer,
-                          max_new_tokens=max_new_tokens)
+                          max_new_tokens=max_new_tokens, quantized=load_8bit)
