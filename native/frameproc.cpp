@@ -15,9 +15,12 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
 #include <cmath>
+#include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -99,6 +102,137 @@ void fp_area_downsample4(const float* frames, float* out, int64_t t, int64_t h,
       }
     }
   });
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Decoded-frame ring buffer: fixed-size slots, multi-producer (decode thread
+// pool) / single-or-multi-consumer, FIFO in *reservation* order. Producers
+// reserve a ticket, fill the slot, commit; commits become visible strictly in
+// ticket order (a watermark advances over contiguously-committed tickets), so
+// frame order survives an out-of-order decode pool. Consumers pop the oldest
+// committed ticket and release its slot after copying/uploading.
+//
+// This is the host half of the streaming ingest path (SURVEY §2.11 N9): the
+// pool decodes clip k+1 into the ring while the TPU runs clip k.
+
+namespace {
+
+struct Ring {
+  std::mutex mu;
+  std::condition_variable cv;
+  std::vector<uint8_t> buf;
+  std::vector<uint8_t> committed;  // per-slot flag for the in-flight window
+  std::vector<uint8_t> released;   // popped slots given back, maybe out of order
+  int64_t slots = 0;
+  int64_t slot_bytes = 0;
+  int64_t write_ticket = 0;      // next ticket to hand out
+  int64_t commit_watermark = 0;  // all tickets < this are committed
+  int64_t read_ticket = 0;       // next ticket to pop
+  int64_t popped_ticket = 0;     // highest popped-but-unreleased + 1
+  bool closed = false;
+};
+
+template <typename Pred>
+bool wait_on(Ring* r, std::unique_lock<std::mutex>& lk, int timeout_ms,
+             Pred pred) {
+  if (timeout_ms < 0) {
+    r->cv.wait(lk, pred);
+    return true;
+  }
+  return r->cv.wait_for(lk, std::chrono::milliseconds(timeout_ms), pred);
+}
+
+}  // namespace
+
+extern "C" {
+
+void* fp_ring_create(int64_t slots, int64_t slot_bytes) {
+  if (slots <= 0 || slot_bytes <= 0) return nullptr;
+  Ring* r = new Ring();
+  r->slots = slots;
+  r->slot_bytes = slot_bytes;
+  r->buf.resize(static_cast<size_t>(slots * slot_bytes));
+  r->committed.assign(static_cast<size_t>(slots), 0);
+  r->released.assign(static_cast<size_t>(slots), 0);
+  return r;
+}
+
+void fp_ring_destroy(void* h) { delete static_cast<Ring*>(h); }
+
+// Producer side signals no more frames will be reserved.
+void fp_ring_close(void* h) {
+  Ring* r = static_cast<Ring*>(h);
+  std::lock_guard<std::mutex> lk(r->mu);
+  r->closed = true;
+  r->cv.notify_all();
+}
+
+// Reserve a slot for writing. Returns ticket ≥ 0, -1 on timeout, -2 if closed.
+int64_t fp_ring_reserve(void* h, int timeout_ms) {
+  Ring* r = static_cast<Ring*>(h);
+  std::unique_lock<std::mutex> lk(r->mu);
+  bool ok = wait_on(r, lk, timeout_ms, [&] {
+    return r->closed || r->write_ticket - r->read_ticket < r->slots;
+  });
+  if (r->closed) return -2;
+  if (!ok) return -1;
+  return r->write_ticket++;
+}
+
+// Slot memory for a ticket (valid between reserve/pop and commit/release).
+void* fp_ring_slot(void* h, int64_t ticket) {
+  Ring* r = static_cast<Ring*>(h);
+  return r->buf.data() + (ticket % r->slots) * r->slot_bytes;
+}
+
+void fp_ring_commit(void* h, int64_t ticket) {
+  Ring* r = static_cast<Ring*>(h);
+  std::lock_guard<std::mutex> lk(r->mu);
+  r->committed[ticket % r->slots] = 1;
+  while (r->commit_watermark < r->write_ticket &&
+         r->committed[r->commit_watermark % r->slots]) {
+    ++r->commit_watermark;
+  }
+  r->cv.notify_all();
+}
+
+// Pop the oldest committed ticket. -1 on timeout, -2 if closed AND drained.
+int64_t fp_ring_pop(void* h, int timeout_ms) {
+  Ring* r = static_cast<Ring*>(h);
+  std::unique_lock<std::mutex> lk(r->mu);
+  bool ok = wait_on(r, lk, timeout_ms, [&] {
+    return r->popped_ticket < r->commit_watermark ||
+           (r->closed && r->popped_ticket >= r->write_ticket);
+  });
+  if (r->popped_ticket < r->commit_watermark) return r->popped_ticket++;
+  if (r->closed) return -2;
+  (void)ok;
+  return -1;
+}
+
+// Release a popped ticket's slot for reuse. Releases may arrive out of order
+// (multiple consumers); a slot is recycled only once every older ticket's slot
+// is also back, keeping reserve()'s ticket↔slot mapping unambiguous.
+void fp_ring_release(void* h, int64_t ticket) {
+  Ring* r = static_cast<Ring*>(h);
+  std::lock_guard<std::mutex> lk(r->mu);
+  r->released[ticket % r->slots] = 1;
+  while (r->read_ticket < r->popped_ticket &&
+         r->released[r->read_ticket % r->slots]) {
+    r->released[r->read_ticket % r->slots] = 0;
+    r->committed[r->read_ticket % r->slots] = 0;
+    ++r->read_ticket;
+  }
+  r->cv.notify_all();
+}
+
+// Committed-but-unpopped count (for monitoring/backpressure decisions).
+int64_t fp_ring_pending(void* h) {
+  Ring* r = static_cast<Ring*>(h);
+  std::lock_guard<std::mutex> lk(r->mu);
+  return r->commit_watermark - r->popped_ticket;
 }
 
 }  // extern "C"

@@ -81,3 +81,48 @@ def test_sharded_matches_serial(setup, n_dev, guidance):
     got = denoise(params, shard_video(latents0, mesh),
                   shard_video(image_noised, mesh), embeds, lvl)
     np.testing.assert_allclose(np.asarray(got), want, atol=5e-4, rtol=1e-3)
+
+
+def test_sharded_propagation_matches_serial(setup):
+    """Distributed propagation (all-gather + replicated recurrence + slice)
+    must equal the serial plan bit-for-bit semantics."""
+    from upscale_a_video_tpu.models.propagation import propagate_latents
+
+    unet, params, sched = setup
+    n_dev, steps, t, b = 4, 3, 16, 1
+    mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("time",))
+    prop_steps = (1, 2)
+
+    latents0 = jax.random.normal(jax.random.PRNGKey(11), (b, t, 8, 8, 4))
+    image_noised = jax.random.normal(jax.random.PRNGKey(12), (b, t, 8, 8, 3))
+    embeds = jax.random.normal(jax.random.PRNGKey(13), (b, 3, 16))
+    lvl = jnp.full((b,), 20, jnp.int32)
+    flows_f = jax.random.normal(jax.random.PRNGKey(14), (b, t - 1, 8, 8, 2)) * 0.5
+    flows_b = jax.random.normal(jax.random.PRNGKey(15), (b, t - 1, 8, 8, 2)) * 0.5
+
+    lat = latents0
+    for i, tt in enumerate(sched.timesteps(steps)):
+        out_slots = [None] * t
+        for start in range(0, t, 6):
+            end = min(t, start + 8)
+            if end - start < 8:
+                start = end - 8
+            p = unet.apply(params, lat[:, start:end], int(tt),
+                           image_noised[:, start:end], embeds, lvl)
+            for k, idx in enumerate(range(start, end)):
+                out_slots[idx] = (p[:, k] if out_slots[idx] is None
+                                  else out_slots[idx] * 0.5 + p[:, k] * 0.5)
+        pred = jnp.stack(out_slots, axis=1).astype(jnp.float32)
+        x0 = sched.step_v0(pred, int(tt), lat)
+        if i in prop_steps:
+            x0 = propagate_latents(x0, flows_f, flows_b)
+        lat = sched.step_vt(x0, pred, int(tt), lat, steps)
+    want = np.asarray(lat)
+
+    denoise = build_sharded_denoise(unet, sched, mesh, steps, 1.0,
+                                    compute_dtype=jnp.float32,
+                                    propagation_steps=prop_steps)
+    got = denoise(params, shard_video(latents0, mesh),
+                  shard_video(image_noised, mesh), embeds, lvl,
+                  flows_f, flows_b)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-4, rtol=1e-3)

@@ -8,9 +8,13 @@ computed chunk-locally with a ppermute halo/spill exchange that reproduces the
 serial window plan exactly (parallel/temporal.windowed_apply_local); the DDIM
 split-step update is elementwise per frame and needs no communication.
 
-Propagation (`-p`) is inherently frame-sequential and is not distributed here
-(SURVEY §5.7 hard part #4); the sharded path covers the no-propagation eval
-configs, which is where long-clip throughput matters.
+Propagation (`-p`) is frame-sequential (SURVEY §5.7 hard part #4), but the
+latents it touches are small next to the UNet activations, so at propagation
+steps the chunks are all-gathered along the time axis over ICI, the exact
+serial ``propagate_latents`` recurrence runs replicated, and each chip keeps
+its own slice — bit-identical to the serial plan, one collective per
+propagation step (ref pipeline_upscale_a_video.py:652-657 applies propagation
+at a handful of selected steps only).
 """
 
 from __future__ import annotations
@@ -33,19 +37,39 @@ def build_sharded_denoise(
     window: int = 8,
     stride: int = 6,
     compute_dtype=jnp.bfloat16,
+    propagation_steps=(),
 ):
     """Returns jitted ``denoise(params, latents, image_noised, prompt_embeds,
-    denoise_level) -> latents`` with latents/image sharded on the frame axis.
+    denoise_level[, flows_f, flows_b]) -> latents`` with latents/image sharded
+    on the frame axis.
 
     latents: (B, T, H, W, 4); image_noised: (CFG·B, T, H, W, 3) — both sharded
-    P(None, axis); everything else replicated.
+    P(None, axis); everything else replicated. With ``propagation_steps`` the
+    returned fn takes the bidirectional flows (replicated, full T) and applies
+    flow-guided propagation to x0 at those step indices via a time-axis
+    all-gather (see module docstring).
     """
+    from ..models.propagation import propagate_latents
+
     n_chunks = mesh.shape[axis]
     do_cfg = guidance_scale > 1.0
     timesteps = jnp.asarray(scheduler.timesteps(num_inference_steps))
+    do_prop = bool(propagation_steps)
+    prop_flags = jnp.asarray(
+        [i in set(propagation_steps) for i in range(num_inference_steps)])
 
-    def local_denoise(params, latents, image_noised, prompt_embeds, denoise_level):
-        def body(lat, tstep):
+    def local_denoise(params, latents, image_noised, prompt_embeds, denoise_level,
+                      flows_f=None, flows_b=None):
+        t_local = latents.shape[1]
+
+        def propagate_local(x0):
+            full = jax.lax.all_gather(x0, axis, axis=1, tiled=True)
+            full = propagate_latents(full, flows_f, flows_b)
+            start = jax.lax.axis_index(axis) * t_local
+            return jax.lax.dynamic_slice_in_dim(full, start, t_local, axis=1)
+
+        def body(lat, step_in):
+            tstep, prop_now = step_in
             latent_in = jnp.concatenate([lat, lat]) if do_cfg else lat
 
             def win_fn(xs):
@@ -61,17 +85,23 @@ def build_sharded_denoise(
                 uncond, cond = jnp.split(noise_pred, 2, axis=0)
                 noise_pred = uncond + guidance_scale * (cond - uncond)
             x0 = scheduler.step_v0(noise_pred, tstep, lat)
+            if do_prop:
+                x0 = jax.lax.cond(prop_now, propagate_local, lambda v: v, x0)
             lat = scheduler.step_vt(x0, noise_pred, tstep, lat,
                                     num_inference_steps)
             return lat, ()
 
-        latents, _ = jax.lax.scan(body, latents, timesteps)
+        latents, _ = jax.lax.scan(body, latents, (timesteps, prop_flags))
         return latents
 
+    if do_prop:
+        in_specs = (P(), P(None, axis), P(None, axis), P(), P(), P(), P())
+    else:
+        in_specs = (P(), P(None, axis), P(None, axis), P(), P())
     sharded = shard_map(
         local_denoise,
         mesh=mesh,
-        in_specs=(P(), P(None, axis), P(None, axis), P(), P()),
+        in_specs=in_specs,
         out_specs=P(None, axis),
         check_rep=False,
     )

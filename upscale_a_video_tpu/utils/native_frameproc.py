@@ -40,6 +40,21 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
         ]
+        # ring buffer (see native/frameproc.cpp ring section)
+        lib.fp_ring_create.argtypes = [ctypes.c_int64, ctypes.c_int64]
+        lib.fp_ring_create.restype = ctypes.c_void_p
+        lib.fp_ring_destroy.argtypes = [ctypes.c_void_p]
+        lib.fp_ring_close.argtypes = [ctypes.c_void_p]
+        lib.fp_ring_reserve.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.fp_ring_reserve.restype = ctypes.c_int64
+        lib.fp_ring_slot.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.fp_ring_slot.restype = ctypes.c_void_p
+        lib.fp_ring_commit.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.fp_ring_pop.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.fp_ring_pop.restype = ctypes.c_int64
+        lib.fp_ring_release.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.fp_ring_pending.argtypes = [ctypes.c_void_p]
+        lib.fp_ring_pending.restype = ctypes.c_int64
         _lib = lib
     except Exception:
         _build_failed = True
