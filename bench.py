@@ -108,7 +108,10 @@ def stage_e2e(size: int, pab: bool = False) -> dict:
     if pab:
         from upscale_a_video_tpu.pipeline.pipeline import PABConfig
 
-        pipe.pab = PABConfig()
+        # skip the finest attention level's caches (down_0/up_3 have no
+        # attention in the released config): they dominate the scan-carry
+        # HBM — full PAB at 256 exceeds one v5e's 16G by ~1G
+        pipe.pab = PABConfig(skip_levels=("down_1", "up_2"))
     img = jax.random.uniform(jax.random.PRNGKey(1), (1, FRAMES, size, size, 3),
                              jnp.float32, -1, 1)
 

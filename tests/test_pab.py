@@ -127,6 +127,47 @@ class TestPabPipeline:
         np.testing.assert_allclose(np.asarray(got_lat), np.asarray(lat),
                                    atol=5e-4, rtol=1e-3)
 
+    def test_skip_levels_matches_manual_loop(self, modules):
+        """Levels named in skip_levels recompute every step; the rest cache.
+        Pipeline must equal a manual loop threading the same skipped cache."""
+        unet, params = modules.unet, modules.unet_params
+        sched = modules.scheduler
+        steps = 4
+        skip = ("down_1", "up_2")  # the finest attention level in the
+        # released block layout (down_0/up_3 carry no attention)
+        cfgp = PABConfig(cross_range=2, spatial_range=2, temporal_range=2,
+                         start_step=1, skip_levels=skip)
+        img = jax.random.uniform(jax.random.PRNGKey(20), (1, 2, 8, 8, 3),
+                                 minval=-1, maxval=1)
+        pipe = VideoUpscalePipeline(modules, dtype=jnp.float32, pab=cfgp)
+        key = jax.random.PRNGKey(21)
+        _, got_lat = pipe("p", img, num_inference_steps=steps, guidance_scale=1.0,
+                          noise_level=20, key=key, return_latents=True)
+
+        prompt_embeds = pipe.encode_prompt(["p"], None, False)
+        k, nkey, lkey = jax.random.split(key, 3)
+        noise = jax.random.normal(nkey, img.shape, jnp.float32)
+        noised = modules.low_res_scheduler.add_noise(
+            img.astype(jnp.float32), noise, jnp.full((1,), 20))
+        lvl = jnp.full((1,), 20, jnp.int32)
+        lat = jax.random.normal(lkey, (1, 2, 8, 8, 4), jnp.float32)
+
+        flags = cfgp.use_cached_flags(steps)
+        cache = unet.make_pab_collect_cache(skip=skip)
+        assert "down_1" not in cache and "up_2" not in cache
+        assert "down_2" in cache  # unskipped levels still cache
+        for i, tt in enumerate(sched.timesteps(steps)):
+            f = {kind: bool(flags[kind][i]) for kind in flags}
+            pred, cache = unet.apply(params, lat, int(tt), noised, prompt_embeds,
+                                     lvl, attn_cache=cache, use_flags=f)
+            assert "down_1" not in cache and "up_2" not in cache
+            pred = pred.astype(jnp.float32)
+            x0 = sched.step_v0(pred, int(tt), lat)
+            lat = sched.step_vt(x0, pred, int(tt), lat, steps)
+
+        np.testing.assert_allclose(np.asarray(got_lat), np.asarray(lat),
+                                   atol=5e-4, rtol=1e-3)
+
     def test_schedule_flags(self):
         cfgp = PABConfig(cross_range=3, spatial_range=1, temporal_range=2,
                          start_step=2, end_step=8)

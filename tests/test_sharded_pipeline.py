@@ -89,7 +89,9 @@ def test_sharded_propagation_matches_serial(setup):
     from upscale_a_video_tpu.models.propagation import propagate_latents
 
     unet, params, sched = setup
-    n_dev, steps, t, b = 4, 3, 16, 1
+    # t_local = t/n_dev must be a multiple of the stride and >= the window
+    # (windowed_apply_local's chunk-plan contract)
+    n_dev, steps, t, b = 2, 3, 24, 1
     mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("time",))
     prop_steps = (1, 2)
 

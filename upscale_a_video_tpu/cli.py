@@ -103,8 +103,18 @@ def run(args) -> None:
     else:
         raise ValueError(f"invalid input: {ip}")
 
+    # decode lookahead: read clip k+1 on a host thread while the TPU runs
+    # clip k (the ring-buffer streamer covers fixed-shape eval; CLI inputs
+    # vary in geometry, so a one-clip future is the right unit here)
+    from concurrent.futures import ThreadPoolExecutor
+
+    decode_pool = ThreadPoolExecutor(max_workers=1)
+    pending = decode_pool.submit(video_io.read_video, video_list[0])
+
     for vi, video_path in enumerate(video_list):
-        frames_u8, fps, name = video_io.read_video(video_path)
+        frames_u8, fps, name = pending.result()
+        if vi + 1 < len(video_list):
+            pending = decode_pool.submit(video_io.read_video, video_list[vi + 1])
         tag = f"[{vi + 1}/{len(video_list)}]"
         print(f"{tag} Processing video: {name}")
 
@@ -177,6 +187,8 @@ def run(args) -> None:
             os.path.join(args.output_path, "video", f"{save_name}.mp4"), out_u8, fps
         )
         print(f"{tag} Saved. time (sec): {run_time:.2f}\n")
+
+    decode_pool.shutdown(wait=False)
 
 
 def main(argv: Optional[List[str]] = None) -> None:

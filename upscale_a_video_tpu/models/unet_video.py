@@ -49,18 +49,23 @@ class UNetVideoModel(nn.Module):
             return block_cls
         return nn.remat(block_cls, static_argnums=static_argnums)
 
-    def make_pab_collect_cache(self):
+    def make_pab_collect_cache(self, skip=()):
         """Empty cache structure for PAB: calling with this collects the
         attention deltas of every transformer block (see nn/attention.py
-        BasicTransformerBlock._cached)."""
+        BasicTransformerBlock._cached). Levels named in ``skip`` (e.g.
+        "down_0", "up_3", "mid") are left out of the cache entirely — their
+        blocks recompute attention every step, which bounds the HBM the cache
+        adds to the denoise-scan carry (the finest level dominates)."""
         cfg = self.config
+        skip = set(skip)
         cache = {}
         for i, bt in enumerate(cfg.down_block_types):
-            if bt == "CrossAttnDownBlock3D":
+            if bt == "CrossAttnDownBlock3D" and f"down_{i}" not in skip:
                 cache[f"down_{i}"] = tuple(({},) for _ in range(cfg.layers_per_block))
-        cache["mid"] = (({},),)
+        if "mid" not in skip:
+            cache["mid"] = (({},),)
         for i, bt in enumerate(cfg.up_block_types):
-            if bt == "CrossAttnUpBlock3D":
+            if bt == "CrossAttnUpBlock3D" and f"up_{i}" not in skip:
                 cache[f"up_{i}"] = tuple(({},) for _ in range(cfg.layers_per_block + 1))
         return cache
 
@@ -136,7 +141,7 @@ class UNetVideoModel(nn.Module):
                     only_cross_attention=cfg.only_cross_attention[i],
                     dtype=dt, param_dtype=self.param_dtype, name=f"down_blocks_{i}",
                 )
-                if want_cache:
+                if want_cache and f"down_{i}" in attn_cache:
                     sample, res_samples, new_cache[f"down_{i}"] = block(
                         sample, emb, ctx, attn_cache[f"down_{i}"], use_flags)
                 else:
@@ -172,7 +177,7 @@ class UNetVideoModel(nn.Module):
             use_linear_projection=cfg.use_linear_projection,
             dtype=dt, param_dtype=self.param_dtype, name="mid_block",
         )
-        if want_cache:
+        if want_cache and "mid" in attn_cache:
             sample, new_cache["mid"] = mid_block(sample, emb, ctx,
                                                  attn_cache["mid"], use_flags)
         else:
@@ -218,7 +223,7 @@ class UNetVideoModel(nn.Module):
                     only_cross_attention=only_cross[i],
                     dtype=dt, param_dtype=self.param_dtype, name=f"up_blocks_{i}",
                 )
-                if want_cache:
+                if want_cache and f"up_{i}" in attn_cache:
                     sample, new_cache[f"up_{i}"] = block(
                         sample, res_samples, emb, ctx, upsample_size,
                         attn_cache[f"up_{i}"], use_flags)

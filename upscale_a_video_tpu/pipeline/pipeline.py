@@ -49,6 +49,11 @@ class PABConfig:
     temporal_range: int = 4
     start_step: int = 2
     end_step: int = 10**9  # default: until the end
+    # UNet levels whose caches are NOT kept (those blocks recompute every
+    # step). The finest level holds the most pixels — skipping it trades a
+    # little speedup for a lot of HBM (the cache rides the whole denoise
+    # scan). E.g. ("down_0", "up_3") on the released 4-level config.
+    skip_levels: Tuple[str, ...] = ()
 
     def use_cached_flags(self, num_steps: int):
         """(steps,) bool arrays per attention kind: True = reuse cache."""
@@ -185,7 +190,8 @@ class VideoUpscalePipeline:
         group = self.window_group if self.window_group > 0 else n_win
 
         pab = self.pab
-        collect_struct = unet.make_pab_collect_cache() if pab is not None else None
+        collect_struct = (unet.make_pab_collect_cache(skip=pab.skip_levels)
+                          if pab is not None else None)
 
         def unet_on_windows(unet_params, latent_in, image_in, tstep, prompt_embeds,
                             denoise_level, attn_cache=None, flags=None):
