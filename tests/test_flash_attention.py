@@ -60,3 +60,32 @@ def test_fits_gate():
     assert not flash_attention_fits(jnp.zeros((16, 8, 1600, 128)),
                                     jnp.zeros((16, 8, 77, 128)),
                                     jnp.zeros((16, 8, 77, 128)), None)
+
+
+def test_flash_grad_matches_xla():
+    """custom_vjp: grads through the flash path equal XLA-attention grads."""
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from upscale_a_video_tpu.ops.attention import attention_xla
+
+    key = jax.random.PRNGKey(7)
+    kq, kk, kv, kg = jax.random.split(key, 4)
+    q = jax.random.normal(kq, (2, 640, 128), jnp.float32)
+    k = jax.random.normal(kk, (2, 640, 128), jnp.float32)
+    v = jax.random.normal(kv, (2, 640, 128), jnp.float32)
+    cot = jax.random.normal(kg, (2, 640, 128), jnp.float32)
+    scale = 0.0883883
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, scale) * cot)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(attention_xla(q, k, v, scale) * cot)
+
+    with pltpu.force_tpu_interpret_mode():
+        gq, gk, gv = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    wq, wk, wv = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(wq), atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(wk), atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(wv), atol=2e-3, rtol=1e-3)

@@ -131,6 +131,34 @@ def flash_attention_fits(q, k, v, bias) -> bool:
     return sq >= 512 and sk >= 512
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_diff(q, k, v, scale: float, block_q: int, block_k: int):
+    return _flash_call(q, k, v, scale, block_q, block_k)
+
+
+def _flash_diff_fwd(q, k, v, scale, block_q, block_k):
+    return _flash_call(q, k, v, scale, block_q, block_k), (q, k, v)
+
+
+def _flash_diff_bwd(scale, block_q, block_k, res, g):
+    """Recompute-backward through the XLA attention expression.
+
+    Pallas kernels are not auto-differentiable; for this model family the
+    gradient-path attentions are either short-KV text cross-attention (Sk=77)
+    or coarse-level self-attention (Sk ≤ ~4k), so materializing the score
+    matrix on the backward pass is cheap — the flash kernel still carries the
+    memory-bound *forward*. (A fused Pallas backward is a pure optimization
+    on top of this, not a correctness requirement.)"""
+    q, k, v = res
+    from .attention import attention_xla
+
+    _, vjp = jax.vjp(lambda q_, k_, v_: attention_xla(q_, k_, v_, scale), q, k, v)
+    return vjp(g)
+
+
+_flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -140,7 +168,10 @@ def flash_attention(
     block_q: int = 256,
     block_k: int = 512,
 ) -> jax.Array:
-    """q: (..., Sq, D), k/v: (..., Sk, D) → (..., Sq, D) in q.dtype."""
+    """q: (..., Sq, D), k/v: (..., Sk, D) → (..., Sq, D) in q.dtype.
+
+    Differentiable: jax.grad flows via a custom VJP (recompute backward),
+    so training steps can keep the flash forward on TPU."""
     assert bias is None, "bias not supported in the flash path"
     *batch, sq, d = q.shape
     sk = k.shape[-2]
@@ -149,5 +180,5 @@ def flash_attention(
     vf = v.reshape(-1, sk, d)
     block_q = min(block_q, _round_up(sq, MIN_BLOCK))
     block_k = min(block_k, _round_up(sk, MIN_BLOCK))
-    out = _flash_call(qf, kf, vf, float(scale), block_q, block_k)
+    out = _flash_diff(qf, kf, vf, float(scale), block_q, block_k)
     return out.reshape(*batch, sq, d)
