@@ -56,10 +56,29 @@ def test_fits_gate():
     assert not flash_attention_fits(jnp.zeros((64, 8, 8, 32)),
                                     jnp.zeros((64, 8, 8, 32)),
                                     jnp.zeros((64, 8, 8, 32)), None)
-    # text cross: kv=77 → no
+    # text cross with a moderate query side: kv=77 → not worth tiling
     assert not flash_attention_fits(jnp.zeros((16, 8, 1600, 128)),
                                     jnp.zeros((16, 8, 77, 128)),
                                     jnp.zeros((16, 8, 77, 128)), None)
+    # text cross at the UNet's fine levels (Sq=128², d=64): XLA would
+    # materialize GBs of fp32 probabilities → flash takes it
+    assert flash_attention_fits(jnp.zeros((16, 8, 16384, 64)),
+                                jnp.zeros((16, 8, 77, 64)),
+                                jnp.zeros((16, 8, 77, 64)), None)
+
+
+def test_short_kv_and_padded_head_dim():
+    """Sk=77 text-cross geometry with d=64 (the UNet shape): wrapper pads the
+    lane dim and masks the padded keys; must match XLA exactly."""
+    keys = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(keys[0], (4, 2048, 64), jnp.float32)
+    k = jax.random.normal(keys[1], (4, 77, 64), jnp.float32)
+    v = jax.random.normal(keys[2], (4, 77, 64), jnp.float32)
+    want = attention_xla(q, k, v, 64**-0.5)
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention(q, k, v, 64**-0.5)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)
 
 
 def test_flash_grad_matches_xla():

@@ -120,15 +120,24 @@ def _flash_call(q, k, v, scale: float, block_q: int, block_k: int):
 
 
 def flash_attention_fits(q, k, v, bias) -> bool:
-    """Geometry gate: no bias, head_dim lane-aligned, sequences long enough
-    that tiling beats one fused XLA softmax."""
+    """Geometry gate: no bias; head_dim ≤ 512 (padded to a lane multiple by
+    the wrapper); enough query rows that tiling beats one fused XLA softmax.
+
+    Long-query/short-KV (text cross-attention, Sk=77) is explicitly in scope:
+    XLA materializes the fp32 (Sq, Sk) probabilities in HBM, which for the
+    UNet's 128²-token levels is GBs of traffic per call — the flash kernel
+    keeps them in VMEM."""
     if bias is not None:
         return False
     *_, sq, d = q.shape
     sk = k.shape[-2]
-    if d % MIN_BLOCK != 0 or d > 512:
+    if d > 512:
         return False
-    return sq >= 512 and sk >= 512
+    if sq >= 512 and sk >= 512:
+        return True
+    # short-KV: worth it once the query side is large enough that the score
+    # tensor dominates HBM traffic
+    return sq >= 2048 and sk >= 1
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -178,7 +187,16 @@ def flash_attention(
     qf = q.reshape(-1, sq, d)
     kf = k.reshape(-1, sk, d)
     vf = v.reshape(-1, sk, d)
+    # lane-align the head dim (e.g. the UNet's d=64): zero-padding k leaves
+    # the scores unchanged; zero columns of v produce zero output columns,
+    # sliced off below.
+    d_pad = _round_up(d, MIN_BLOCK)
+    if d_pad != d:
+        pad = ((0, 0), (0, 0), (0, d_pad - d))
+        qf, kf, vf = jnp.pad(qf, pad), jnp.pad(kf, pad), jnp.pad(vf, pad)
     block_q = min(block_q, _round_up(sq, MIN_BLOCK))
     block_k = min(block_k, _round_up(sk, MIN_BLOCK))
     out = _flash_diff(qf, kf, vf, float(scale), block_q, block_k)
+    if d_pad != d:
+        out = out[..., :d]
     return out.reshape(*batch, sq, d)

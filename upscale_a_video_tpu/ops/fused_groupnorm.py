@@ -50,34 +50,23 @@ def _stats_kernel(x_ref, mask_ref, out_ref, acc_ref, *, rows: int, block_rows: i
     m = mask_ref[...].astype(jnp.float32)  # (C, G)
     s1 = jax.lax.dot(x, m, preferred_element_type=jnp.float32)       # (block_rows, G)
     s2 = jax.lax.dot(x * x, m, preferred_element_type=jnp.float32)
-    acc_ref[0, :] += jnp.sum(s1, axis=0)
-    acc_ref[1, :] += jnp.sum(s2, axis=0)
+    acc_ref[0:1, :] += jnp.sum(s1, axis=0, keepdims=True)
+    acc_ref[1:2, :] += jnp.sum(s2, axis=0, keepdims=True)
 
     @pl.when(t == nt - 1)
     def _store():
         out_ref[0] = acc_ref[...]
 
 
-def _apply_kernel(x_ref, stats_ref, scale_ref, bias_ref, out_ref, *,
-                  rows: int, group_size: int, eps: float, act: str):
-    """y = act((x - µ)·rstd·γ + β). grid (N, num_row_tiles)."""
-    x = x_ref[0].astype(jnp.float32)  # (block_rows, C)
-    c = x.shape[-1]
-    g = c // group_size
-    n_per_group = rows * group_size
-
-    s1 = stats_ref[0, 0]  # (G,)
-    s2 = stats_ref[0, 1]
-    mean = s1 / n_per_group
-    var = s2 / n_per_group - mean * mean
-    rstd = jax.lax.rsqrt(var + eps)
-
-    mean_c = jnp.repeat(mean, group_size, axis=0)  # (C,)
-    rstd_c = jnp.repeat(rstd, group_size, axis=0)
-    gamma = scale_ref[...].astype(jnp.float32)
-    beta = bias_ref[...].astype(jnp.float32)
-
-    y = (x - mean_c[None, :]) * rstd_c[None, :] * gamma[None, :] + beta[None, :]
+def _apply_kernel(x_ref, ab_ref, out_ref, *, act: str):
+    """y = act(x·a + b) with per-channel a/b precomputed on host-XLA side
+    (folding γ·rstd and β−µ·rstd·γ). Keeping the group→channel expansion out
+    of the kernel avoids Mosaic-unsupported vector reshapes (e.g. (G, gs) →
+    (1, C)). grid (N, num_row_tiles)."""
+    x = x_ref[0].astype(jnp.float32)   # (block_rows, C)
+    a = ab_ref[0, 0:1, :]              # (1, C) — slice keeps rank 2
+    b = ab_ref[0, 1:2, :]
+    y = x * a + b
     if act == "silu":
         y = y * jax.nn.sigmoid(y)
     out_ref[0] = y.astype(out_ref.dtype)
@@ -113,22 +102,69 @@ def _fused_gn_tpu(x2d, scale, bias, num_groups: int, eps: float, act: str,
         ),
     )(x2d, mask)
 
+    # fold stats + affine into per-channel a, b (tiny (N, 2, C) XLA compute):
+    # y = (x - µ)·rstd·γ + β = x·(rstd·γ) + (β - µ·rstd·γ)
+    n_per_group = rows * gs
+    mean = stats[:, 0] / n_per_group                       # (N, G)
+    var = stats[:, 1] / n_per_group - mean * mean
+    rstd = jax.lax.rsqrt(var + eps)
+    mean_c = jnp.repeat(mean, gs, axis=1)                  # (N, C)
+    rstd_c = jnp.repeat(rstd, gs, axis=1)
+    a = rstd_c * scale.astype(jnp.float32)[None, :]
+    b = bias.astype(jnp.float32)[None, :] - mean_c * a
+    ab = jnp.stack([a, b], axis=1)                         # (N, 2, C)
+
     out = pl.pallas_call(
-        functools.partial(_apply_kernel, rows=rows, group_size=gs, eps=eps, act=act),
+        functools.partial(_apply_kernel, act=act),
         out_shape=jax.ShapeDtypeStruct((n, rows_pad, c), x2d.dtype),
         grid=(n, nt),
         in_specs=[
             pl.BlockSpec((1, block_rows, c), lambda i, t: (i, t, 0)),
-            pl.BlockSpec((1, 2, num_groups), lambda i, t: (i, 0, 0)),
-            pl.BlockSpec((c,), lambda i, t: (0,)),
-            pl.BlockSpec((c,), lambda i, t: (0,)),
+            pl.BlockSpec((1, 2, c), lambda i, t: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_rows, c), lambda i, t: (i, t, 0)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
-    )(x2d, stats, scale, bias)
+    )(x2d, ab)
     return out[:, :rows]
+
+
+def _gn_reference(x, scale, bias, num_groups: int, eps: float, act: str):
+    """Plain-XLA GroupNorm(+act), channels-last, torch 5-D semantics."""
+    n, c = x.shape[0], x.shape[-1]
+    gs = c // num_groups
+    xg = x.reshape(n, -1, num_groups, gs).astype(jnp.float32)
+    mean = xg.mean(axis=(1, 3), keepdims=True)
+    var = xg.var(axis=(1, 3), keepdims=True)
+    y = (xg - mean) * jax.lax.rsqrt(var + eps)
+    y = y.reshape(x.shape) * scale + bias
+    if act == "silu":
+        y = jax.nn.silu(y)
+    return y.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _fused_gn_diff(x2d, scale, bias, num_groups, eps, act, block_rows):
+    return _fused_gn_tpu(x2d, scale, bias, num_groups, eps, act, block_rows)
+
+
+def _fused_gn_diff_fwd(x2d, scale, bias, num_groups, eps, act, block_rows):
+    out = _fused_gn_tpu(x2d, scale, bias, num_groups, eps, act, block_rows)
+    return out, (x2d, scale, bias)
+
+
+def _fused_gn_diff_bwd(num_groups, eps, act, block_rows, res, g):
+    # recompute-backward through the XLA expression (Pallas kernels are not
+    # auto-differentiable); the fused forward still saves the HBM traffic
+    x2d, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda x_, s_, b_: _gn_reference(x_, s_, b_, num_groups, eps, act),
+        x2d, scale, bias)
+    return vjp(g)
+
+
+_fused_gn_diff.defvjp(_fused_gn_diff_fwd, _fused_gn_diff_bwd)
 
 
 def fused_group_norm(
@@ -144,8 +180,8 @@ def fused_group_norm(
     """GroupNorm over all non-batch axes (+optional SiLU), channels-last.
 
     x: (N, ..., C). Stats per (sample, group) across every non-channel axis,
-    matching torch GroupNorm on 4-D/5-D inputs.
-    """
+    matching torch GroupNorm on 4-D/5-D inputs. Differentiable (custom VJP
+    with recompute backward)."""
     n = x.shape[0]
     c = x.shape[-1]
     assert c % num_groups == 0
@@ -153,17 +189,10 @@ def fused_group_norm(
         use_pallas = jax.devices()[0].platform == "tpu" and c % 128 == 0
 
     if not use_pallas:
-        gs = c // num_groups
-        xg = x.reshape(n, -1, num_groups, gs).astype(jnp.float32)
-        mean = xg.mean(axis=(1, 3), keepdims=True)
-        var = xg.var(axis=(1, 3), keepdims=True)
-        y = (xg - mean) * jax.lax.rsqrt(var + eps)
-        y = y.reshape(x.shape) * scale + bias
-        if act == "silu":
-            y = jax.nn.silu(y)
-        return y.astype(x.dtype)
+        return _gn_reference(x, scale, bias, num_groups, float(eps),
+                             act or "none")
 
     x2d = x.reshape(n, -1, c)
-    out = _fused_gn_tpu(x2d, scale, bias, num_groups, float(eps), act or "none",
-                        block_rows)
+    out = _fused_gn_diff(x2d, scale, bias, num_groups, float(eps),
+                         act or "none", block_rows)
     return out.reshape(x.shape)
