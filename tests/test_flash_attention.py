@@ -60,11 +60,10 @@ def test_fits_gate():
     assert not flash_attention_fits(jnp.zeros((16, 8, 1600, 128)),
                                     jnp.zeros((16, 8, 77, 128)),
                                     jnp.zeros((16, 8, 77, 128)), None)
-    # text cross at the UNet's fine levels (Sq=128², d=64): XLA would
-    # materialize GBs of fp32 probabilities → flash takes it
-    assert flash_attention_fits(jnp.zeros((16, 8, 16384, 64)),
-                                jnp.zeros((16, 8, 77, 64)),
-                                jnp.zeros((16, 8, 77, 64)), None)
+    # long-query/short-KV stays on XLA (measured faster there — see gate)
+    assert not flash_attention_fits(jnp.zeros((16, 8, 16384, 64)),
+                                    jnp.zeros((16, 8, 77, 64)),
+                                    jnp.zeros((16, 8, 77, 64)), None)
 
 
 def test_short_kv_and_padded_head_dim():

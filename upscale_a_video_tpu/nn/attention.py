@@ -114,18 +114,6 @@ class TemporalAttention(nn.Module):
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="to_v")(hidden_states)
 
-        q = _split_heads(q, self.heads)  # (B', H, T, D)
-        k = _split_heads(k, self.heads)
-        v = _split_heads(v, self.heads)
-
-        # Reference order: q is pre-scaled BEFORE RoPE (attention.py:705);
-        # rotation is norm-preserving so scale placement is equivalent, but we
-        # match it exactly.
-        q = q * (self.dim_head**-0.5)
-        rot = min(self.rope_dim, self.dim_head)
-        q = apply_rotary(q, rot_dim=rot)
-        k = apply_rotary(k, rot_dim=rot)
-
         # T5 relative position bias: static (T, T) bucket table → (H, T, T) bias.
         buckets = relative_position_buckets(
             t, self.rel_pos_num_buckets, self.rel_pos_max_distance
@@ -136,11 +124,42 @@ class TemporalAttention(nn.Module):
             (self.rel_pos_num_buckets, self.heads),
             self.param_dtype,
         )
-        bias = bias_table[jnp.asarray(buckets)]  # (T, T, H)
-        bias = bias.transpose(2, 0, 1)[None]  # (1, H, T, T)
+        bias_hss = bias_table[jnp.asarray(buckets)].transpose(2, 0, 1)  # (H,T,T)
 
-        out = attention(q, k, v, scale=1.0, bias=bias, subtract_max=True)
-        out = _merge_heads(out)
+        rot = min(self.rope_dim, self.dim_head)
+        b_, inner_d = q.shape[0], self.dim_head
+
+        from ..ops.fused_temporal_attention import (
+            fused_temporal_attention,
+            fused_temporal_attention_fits,
+        )
+
+        if (jax.devices()[0].platform == "tpu"
+                and fused_temporal_attention_fits(b_, t, self.heads, inner_d)):
+            # fused path: one Pallas pass in the (B', T, H, D) layout; q/k/v
+            # cross HBM once (see ops/fused_temporal_attention.py)
+            qh = q.reshape(b_, t, self.heads, inner_d) * (inner_d**-0.5)
+            kh = k.reshape(b_, t, self.heads, inner_d)
+            qh = apply_rotary(qh, rot_dim=rot, seq_axis=-3)
+            kh = apply_rotary(kh, rot_dim=rot, seq_axis=-3)
+            vh = v.reshape(b_, t, self.heads, inner_d)
+            out = fused_temporal_attention(qh, kh, vh, bias_hss)
+            out = out.reshape(b_, t, inner)
+        else:
+            q = _split_heads(q, self.heads)  # (B', H, T, D)
+            k = _split_heads(k, self.heads)
+            v = _split_heads(v, self.heads)
+
+            # Reference order: q is pre-scaled BEFORE RoPE (attention.py:705);
+            # rotation is norm-preserving so scale placement is equivalent,
+            # but we match it exactly.
+            q = q * (self.dim_head**-0.5)
+            q = apply_rotary(q, rot_dim=rot)
+            k = apply_rotary(k, rot_dim=rot)
+
+            out = attention(q, k, v, scale=1.0, bias=bias_hss[None],
+                            subtract_max=True)
+            out = _merge_heads(out)
 
         return nn.Dense(
             self.query_dim, use_bias=True, kernel_init=nn.initializers.zeros_init(),

@@ -133,11 +133,12 @@ def flash_attention_fits(q, k, v, bias) -> bool:
     sk = k.shape[-2]
     if d > 512:
         return False
-    if sq >= 512 and sk >= 512:
-        return True
-    # short-KV: worth it once the query side is large enough that the score
-    # tensor dominates HBM traffic
-    return sq >= 2048 and sk >= 1
+    # NB: long-query/short-KV (text cross, Sk=77) was tried and measured
+    # SLOWER than the fused XLA softmax on v5e (11.7 ms vs 4.0 ms at the
+    # 128²-token level): with Sk that small XLA's one-pass softmax is already
+    # traffic-optimal and the tiled kernel pays per-program latency. Keep
+    # flash for genuinely long KV only.
+    return sq >= 512 and sk >= 512
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))

@@ -28,14 +28,17 @@ def apply_rotary(t: jax.Array, rot_dim: int, theta: float = 10000.0, seq_axis: i
     """
     d = t.shape[-1]
     assert d >= rot_dim, f"head dim {d} < rot_dim {rot_dim}"
-    assert seq_axis in (-2, t.ndim - 2), "positions are taken along axis -2"
-    seq = t.shape[-2]
+    seq_axis = seq_axis if seq_axis < 0 else seq_axis - t.ndim
+    assert seq_axis in (-2, -3), "positions along axis -2 (…,S,D) or -3 (…,S,H,D)"
+    seq = t.shape[seq_axis]
 
     freqs = rotary_frequencies(rot_dim, theta)  # (rot_dim//2,)
     pos = jnp.arange(seq, dtype=jnp.float32)
     angles = pos[:, None] * freqs[None, :]  # (seq, rot_dim//2)
     # interleaved repeat: (f0, f0, f1, f1, ...)
     angles = jnp.repeat(angles, 2, axis=-1)  # (seq, rot_dim)
+    if seq_axis == -3:  # broadcast over the heads axis between seq and dim
+        angles = angles[:, None, :]
     cos = jnp.cos(angles)
     sin = jnp.sin(angles)
 
