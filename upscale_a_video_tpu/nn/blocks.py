@@ -52,6 +52,35 @@ def get_activation(name: str) -> Callable[[jax.Array], jax.Array]:
     raise ValueError(f"unknown activation {name!r}")
 
 
+class FusedGroupNorm(nn.Module):
+    """Drop-in for ``nn.GroupNorm`` (identical scale/bias params) that
+    dispatches to the fused Pallas GroupNorm(+act) kernel on TPU
+    (ops/fused_groupnorm.py). Off-TPU it computes the same math in plain XLA.
+
+    NOT used in _ResnetCore: measured SLOWER end-to-end there (XLA fuses the
+    GN+SiLU into neighboring ops better than a standalone 2-pass kernel).
+    Kept for memory-constrained call sites where the fp32 score/stat
+    intermediates matter more than fusion."""
+
+    num_groups: int
+    epsilon: float = 1e-6
+    act: Optional[str] = None  # "silu" folds the activation into the kernel
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from ..ops.fused_groupnorm import fused_group_norm
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (c,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,),
+                          self.param_dtype)
+        return fused_group_norm(x, scale, bias, self.num_groups,
+                                eps=self.epsilon, act=self.act)
+
+
 class InflatedConv(nn.Module):
     """Per-frame 2-D convolution on (B, T, H, W, C) video tensors.
 
@@ -250,6 +279,10 @@ class _ResnetCore(nn.Module):
         groups_out = self.groups_out or self.groups
         act = get_activation(self.non_linearity)
 
+        # NB: routing these through the Pallas FusedGroupNorm was MEASURED
+        # SLOWER end-to-end on v5e (0.250 → 0.185 fps at 256): XLA fuses the
+        # normalize+SiLU into neighboring ops, which beats a standalone
+        # 2-pass kernel. Keep flax GroupNorm here.
         h = nn.GroupNorm(
             num_groups=self.groups, epsilon=self.eps, dtype=self.dtype,
             param_dtype=self.param_dtype, name="norm1",
