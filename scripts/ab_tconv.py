@@ -92,3 +92,36 @@ def extra():
 
 
 extra()
+
+
+def extra2():
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, HW, HW, C), jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(1), (K, 1, 1, C, C), jnp.float32) * 0.02
+
+    def conv_shifted_gemms(x, w):
+        wk = w.astype(x.dtype)  # (K,1,1,C,C)
+        pad = (K - 1) // 2
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0)))
+        out = None
+        for i in range(K):
+            tap = jax.lax.dot_general(
+                xp[:, i:i + T], wk[i, 0, 0],
+                (((4,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            out = tap if out is None else out + tap
+        return out.astype(x.dtype)
+
+    a = timed("5 shifted GEMMs", jax.jit(conv_shifted_gemms), x, w)
+
+    def conv_native2(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w.astype(x.dtype), (1, 1, 1),
+            [((K - 1) // 2, (K - 1) // 2), (0, 0), (0, 0)],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    b = timed("native again", jax.jit(conv_native2), x, w)
+    print("maxdiff", float(np.max(np.abs(
+        np.asarray(a[:, :, :4, :4], np.float32)
+        - np.asarray(b[:, :, :4, :4], np.float32)))))
+
+
+extra2()

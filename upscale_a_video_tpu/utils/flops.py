@@ -51,6 +51,16 @@ def cost_analysis(fn: Callable, *example_args: Any, **kw) -> dict:
     return dict(ca or {})
 
 
+def flops_of(fn: Callable, *args, **kwargs) -> Optional[float]:
+    """Total FLOPs of ``fn(*args)`` per XLA cost analysis (None if the
+    backend does not report it)."""
+    try:
+        ca = cost_analysis(fn, *args, **kwargs)
+    except Exception:
+        return None
+    return float(ca.get("flops", 0.0)) or None
+
+
 def format_count(n: float) -> str:
     """Human-readable count (1.23 G, 45.6 M, ...)."""
     for unit, div in (("T", 1e12), ("G", 1e9), ("M", 1e6), ("K", 1e3)):
