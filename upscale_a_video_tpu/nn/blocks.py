@@ -112,6 +112,27 @@ class InflatedConv(nn.Module):
         return _split_bt(out, t)
 
 
+class _Conv3DParams(nn.Module):
+    """Param-only twin of nn.Conv (same kernel/bias names under the same
+    scope) so TemporalConv can route to the Pallas temporal-conv kernel
+    without changing the checkpoint structure."""
+
+    features: int
+    kernel_size: Tuple[int, int, int]
+    use_bias: bool
+    kernel_init: Callable
+    bias_init: Callable
+    param_dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        shape = (*self.kernel_size, in_features, self.features)
+        kernel = self.param("kernel", self.kernel_init, shape, self.param_dtype)
+        bias = (self.param("bias", self.bias_init, (self.features,),
+                           self.param_dtype) if self.use_bias else None)
+        return kernel, bias
+
+
 class TemporalConv(nn.Module):
     """True 3-D convolution over (T, H, W) on channels-last video tensors.
 
@@ -130,6 +151,22 @@ class TemporalConv(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         assert x.ndim == 5
+        from ..ops.temporal_conv import temporal_conv, temporal_conv_fits
+
+        if (not self.is_initializing()
+                and jax.devices()[0].platform == "tpu"
+                and temporal_conv_fits(x.shape, self.kernel_size)):
+            # Pallas shifted-block kernel (ops/temporal_conv.py) — same
+            # params as nn.Conv via the param-only child scope "conv"
+            kernel, bias = _Conv3DParams(
+                self.features, self.kernel_size, self.use_bias,
+                self.kernel_init, self.bias_init, self.param_dtype,
+                name="conv")(x.shape[-1])
+            # same dtype promotion as nn.Conv: common type unless dtype is set
+            dt = self.dtype or jnp.promote_types(x.dtype, kernel.dtype)
+            return temporal_conv(x.astype(dt), kernel.astype(dt),
+                                 bias, use_pallas=True)
+
         pad = tuple(((k - 1) // 2, (k - 1) // 2) for k in self.kernel_size)
         return nn.Conv(
             self.features,
