@@ -151,22 +151,12 @@ class TemporalConv(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         assert x.ndim == 5
-        from ..ops.temporal_conv import temporal_conv, temporal_conv_fits
-
-        if (not self.is_initializing()
-                and jax.devices()[0].platform == "tpu"
-                and temporal_conv_fits(x.shape, self.kernel_size)):
-            # Pallas shifted-block kernel (ops/temporal_conv.py) — same
-            # params as nn.Conv via the param-only child scope "conv"
-            kernel, bias = _Conv3DParams(
-                self.features, self.kernel_size, self.use_bias,
-                self.kernel_init, self.bias_init, self.param_dtype,
-                name="conv")(x.shape[-1])
-            # same dtype promotion as nn.Conv: common type unless dtype is set
-            dt = self.dtype or jnp.promote_types(x.dtype, kernel.dtype)
-            return temporal_conv(x.astype(dt), kernel.astype(dt),
-                                 bias, use_pallas=True)
-
+        # NB: routing (k,1,1) kernels through the Pallas shifted-block conv
+        # (ops/temporal_conv.py) is 1.6× faster STANDALONE (5.96 vs 9.73 ms
+        # at L0) but was MEASURED SLOWER end-to-end (0.250 → 0.226 fps):
+        # the opaque pallas_call boundary defeats XLA's fusion of the
+        # surrounding GN/SiLU/residual elementwise work into the conv.
+        # Keep nn.Conv here; the kernel remains available for standalone use.
         pad = tuple(((k - 1) // 2, (k - 1) // 2) for k in self.kernel_size)
         return nn.Conv(
             self.features,
