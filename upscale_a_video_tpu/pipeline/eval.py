@@ -50,12 +50,21 @@ def evaluate_directory(
     if not clips:
         raise ValueError(f"no clips in {input_dir}")
 
+    # decode lookahead: read clip k+1 on a host thread while the TPU runs
+    # clip k (shape-agnostic counterpart of the fixed-shape ring streamer in
+    # utils/stream.py)
+    from concurrent.futures import ThreadPoolExecutor
+
+    todo = [c for c in clips if not ledger.is_done(Path(c).stem)]
+    pool = ThreadPoolExecutor(max_workers=1)
+    pending = pool.submit(video_io.read_video, todo[0]) if todo else None
+
     results = []
-    for clip_path in clips:
+    for ci, clip_path in enumerate(todo):
         name = Path(clip_path).stem
-        if ledger.is_done(name):
-            continue
-        frames_u8, fps, _ = video_io.read_video(clip_path)
+        frames_u8, fps, _ = pending.result()
+        if ci + 1 < len(todo):
+            pending = pool.submit(video_io.read_video, todo[ci + 1])
         if max_frames:
             frames_u8 = frames_u8[:max_frames]
         video = jnp.asarray(video_io.to_model_range(frames_u8))[None]
@@ -92,6 +101,7 @@ def evaluate_directory(
             f.write(json.dumps(entry) + "\n")
         ledger.mark_done(name, sec=entry["sec"])
         results.append(entry)
+    pool.shutdown(wait=False)
 
     # aggregate (including previously-completed entries in the report)
     all_entries = []
