@@ -83,6 +83,49 @@ def test_sharded_matches_serial(setup, n_dev, guidance):
     np.testing.assert_allclose(np.asarray(got), want, atol=5e-4, rtol=1e-3)
 
 
+def test_sharded_pab_matches_serial(setup):
+    """PAB caches ride the sharded scan chip-locally; result must equal a
+    serial loop threading one cache per global window."""
+    from upscale_a_video_tpu.pipeline.pipeline import PABConfig
+
+    unet, params, sched = setup
+    n_dev, steps, t, b = 2, 3, 24, 1
+    mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("time",))
+    cfgp = PABConfig(cross_range=2, spatial_range=2, temporal_range=2,
+                     start_step=1)
+
+    latents0 = jax.random.normal(jax.random.PRNGKey(21), (b, t, 8, 8, 4))
+    image_noised = jax.random.normal(jax.random.PRNGKey(22), (b, t, 8, 8, 3))
+    embeds = jax.random.normal(jax.random.PRNGKey(23), (b, 3, 16))
+    lvl = jnp.full((b,), 20, jnp.int32)
+
+    # serial: reference window plan with one PAB cache per global window
+    starts = [0, 6, 12, 16]  # range(0,24,6) with the last right-aligned
+    flags = cfgp.use_cached_flags(steps)
+    caches = {s: unet.make_pab_collect_cache() for s in starts}
+    lat = latents0
+    for i, tt in enumerate(sched.timesteps(steps)):
+        f = {k: bool(flags[k][i]) for k in flags}
+        out_slots = [None] * t
+        for s in starts:
+            pred, caches[s] = unet.apply(
+                params, lat[:, s:s + 8], int(tt), image_noised[:, s:s + 8],
+                embeds, lvl, attn_cache=caches[s], use_flags=f)
+            for k, idx in enumerate(range(s, s + 8)):
+                out_slots[idx] = (pred[:, k] if out_slots[idx] is None
+                                  else out_slots[idx] * 0.5 + pred[:, k] * 0.5)
+        pred = jnp.stack(out_slots, axis=1).astype(jnp.float32)
+        x0 = sched.step_v0(pred, int(tt), lat)
+        lat = sched.step_vt(x0, pred, int(tt), lat, steps)
+    want = np.asarray(lat)
+
+    denoise = build_sharded_denoise(unet, sched, mesh, steps, 1.0,
+                                    compute_dtype=jnp.float32, pab=cfgp)
+    got = denoise(params, shard_video(latents0, mesh),
+                  shard_video(image_noised, mesh), embeds, lvl)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-4, rtol=1e-3)
+
+
 def test_sharded_propagation_matches_serial(setup):
     """Distributed propagation (all-gather + replicated recurrence + slice)
     must equal the serial plan bit-for-bit semantics."""

@@ -33,6 +33,21 @@ from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 
+def local_window_count(t_local: int, n_chunks: int, window: int = 8,
+                       stride: int = 6) -> int:
+    """Windows each chip computes (stable across chips/steps) — the length of
+    the per-window cache list ``windowed_apply_local`` expects."""
+    if n_chunks == 1:
+        n = 0
+        for s in range(0, t_local, stride):
+            n += 1
+            if s + window >= t_local:
+                break
+        return n
+    full = len([s for s in range(0, t_local, stride) if s + window <= t_local])
+    return full + 1  # + spill/right-aligned window
+
+
 def windowed_apply_local(
     fn: Callable,
     xs,                      # pytree of (B, T_local, ...) arrays (same T axis)
@@ -40,10 +55,18 @@ def windowed_apply_local(
     n_chunks: int,
     window: int = 8,
     stride: int = 6,
+    caches=None,
 ):
     """Run ``fn`` over temporal windows of time-sharded tensors with
     reference-equivalent overlap averaging. Must execute inside a shard_map
-    over ``axis``. fn: pytree of (B, window, ...) → (B, window, ...) array."""
+    over ``axis``. fn: pytree of (B, window, ...) → (B, window, ...) array.
+
+    With ``caches`` (a list of per-window cache pytrees, one per local window
+    in plan order — see :func:`local_window_count`), ``fn(xs_w, cache)`` must
+    return ``(pred, new_cache)`` and the call returns ``(out, new_caches)``.
+    Every global window is computed by exactly one chip, so per-window caches
+    (PAB attention deltas) stay chip-local across denoise steps — no extra
+    communication."""
     overlap = window - stride
     leaves = jax.tree.leaves(xs)
     b, t_local = leaves[0].shape[0], leaves[0].shape[1]
@@ -52,18 +75,26 @@ def windowed_apply_local(
     )
     idx = jax.lax.axis_index(axis) if n_chunks > 1 else 0
     is_last = idx == n_chunks - 1
+    new_caches = []
+
+    def call(xs_w, wi):
+        if caches is None:
+            return fn(xs_w)
+        pred, nc = fn(xs_w, caches[wi])
+        new_caches.append(nc)
+        return pred
 
     if n_chunks == 1:
         # serial plan on one chip (exactly the reference loop)
         starts = [s for s in range(0, t_local, stride)]
         out = None
         cover = None
-        for s in starts:
+        for wi, s in enumerate(starts):
             if s + window <= t_local:
                 a, e = s, s + window
             else:
                 a, e = t_local - window, t_local
-            pred = fn(jax.tree.map(lambda x: x[:, a:e], xs))
+            pred = call(jax.tree.map(lambda x: x[:, a:e], xs), wi)
             if out is None:
                 out = jnp.zeros((b, t_local) + pred.shape[2:], pred.dtype)
                 cover = jnp.zeros((b, t_local) + (1,) * (pred.ndim - 2), pred.dtype)
@@ -74,6 +105,8 @@ def windowed_apply_local(
             cover = cover.at[:, a:e].set(1.0)
             if e == t_local and s + window > t_local:
                 break
+        if caches is not None:
+            return out, new_caches
         return out
 
     # multi-chunk: gather right halo, compute local + spill windows, exchange
@@ -96,22 +129,22 @@ def windowed_apply_local(
         cover = cover.at[:, start:start + window].set(1.0)
         return out, cover
 
-    first_pred = fn(jax.tree.map(lambda x: x[:, 0:window], xs_ext))
+    first_pred = call(jax.tree.map(lambda x: x[:, 0:window], xs_ext), 0)
     out = jnp.zeros((b, t_local + overlap) + first_pred.shape[2:], first_pred.dtype)
     cover = jnp.zeros((b, t_local + overlap) + (1,) * (first_pred.ndim - 2),
                       first_pred.dtype)
     out, cover = blend_static(out, cover, first_pred, 0)
-    for s in starts_full[1:]:
+    for wi, s in enumerate(starts_full[1:], start=1):
         out, cover = blend_static(out, cover,
-                                  fn(jax.tree.map(lambda x: x[:, s:s + window],
-                                                  xs_ext)), s)
+                                  call(jax.tree.map(lambda x: x[:, s:s + window],
+                                                    xs_ext), wi), s)
 
     # spill window: start t_local - stride (non-last) or right-aligned (last)
     spill_start = jnp.where(is_last, t_local - window, t_local - stride)
     spill_xs = jax.tree.map(
         lambda x: jax.lax.dynamic_slice_in_dim(x, spill_start, window, axis=1),
         xs_ext)
-    spill_pred = fn(spill_xs)
+    spill_pred = call(spill_xs, len(starts_full))
     seg = jax.lax.dynamic_slice_in_dim(out, spill_start, window, axis=1)
     cov = jax.lax.dynamic_slice_in_dim(cover, spill_start, window, axis=1)
     new = jnp.where(cov > 0, 0.5 * seg + 0.5 * spill_pred, spill_pred)
@@ -128,7 +161,10 @@ def windowed_apply_local(
 
     head = out[:, :overlap]
     head = jnp.where(recv_valid > 0, 0.5 * recv + 0.5 * head, head)
-    return jnp.concatenate([head, out[:, overlap:t_local]], axis=1)
+    result = jnp.concatenate([head, out[:, overlap:t_local]], axis=1)
+    if caches is not None:
+        return result, new_caches
+    return result
 
 
 def sharded_windowed_apply(
