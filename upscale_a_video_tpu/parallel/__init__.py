@@ -20,4 +20,12 @@ def __getattr__(name):
         from . import sharded_pipeline
 
         return getattr(sharded_pipeline, name)
+    if name == "build_window_sharded_denoise":
+        from . import window_parallel
+
+        return window_parallel.build_window_sharded_denoise
+    if name == "build_sharded_decode":
+        from . import decode
+
+        return decode.build_sharded_decode
     raise AttributeError(name)

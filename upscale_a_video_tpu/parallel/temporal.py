@@ -38,10 +38,14 @@ def local_window_count(t_local: int, n_chunks: int, window: int = 8,
     """Windows each chip computes (stable across chips/steps) — the length of
     the per-window cache list ``windowed_apply_local`` expects."""
     if n_chunks == 1:
+        # mirror the execution loop below: it stops only after computing a
+        # right-aligned window (s + window > t); when s + window == t the
+        # reference's range continues and re-blends a duplicate right-aligned
+        # window (ref pipeline_upscale_a_video.py:621-634 has no break)
         n = 0
         for s in range(0, t_local, stride):
             n += 1
-            if s + window >= t_local:
+            if s + window > t_local:
                 break
         return n
     full = len([s for s in range(0, t_local, stride) if s + window <= t_local])

@@ -34,14 +34,28 @@ def evaluate_directory(
     max_frames: Optional[int] = None,
     seed: int = 10,
     report_path: Optional[str] = None,
+    lpips_ckpt: Optional[str] = None,
+    lpips_net: str = "alex",
 ) -> dict:
-    """Upscale every clip in input_dir; returns aggregate metrics."""
+    """Upscale every clip in input_dir; returns aggregate metrics.
+
+    With ``lpips_ckpt`` (a torch ``lpips`` package checkpoint), per-clip and
+    aggregate LPIPS are reported alongside PSNR/SSIM — the full BASELINE.md
+    quality gate.
+    """
     import jax
     import jax.numpy as jnp
 
     from ..utils import video_io
     from ..utils.checkpoint import ClipLedger
     from ..utils.metrics import psnr, ssim
+
+    lpips_fn = None
+    if lpips_ckpt is not None and gt_dir is not None:
+        from ..utils.lpips import load_lpips
+
+        lpips_model, lpips_params = load_lpips(lpips_ckpt, net=lpips_net)
+        lpips_fn = jax.jit(lambda a, b: lpips_model.apply(lpips_params, a, b))
 
     report_path = report_path or os.path.join(output_dir, "eval_report.jsonl")
     ledger = ClipLedger(os.path.join(output_dir, "eval_ledger.jsonl"))
@@ -93,6 +107,8 @@ def evaluate_directory(
                 pred = out[0][: gt.shape[0]]
                 entry["psnr"] = float(jnp.mean(psnr(pred, gt)))
                 entry["ssim"] = float(jnp.mean(ssim(pred, gt)))
+                if lpips_fn is not None:
+                    entry["lpips"] = float(jnp.mean(lpips_fn(pred, gt)))
 
         out_u8 = video_io.from_model_range(np.asarray(out[0]))
         video_io.write_video(os.path.join(output_dir, "video", f"{name}.mp4"),
@@ -109,7 +125,7 @@ def evaluate_directory(
         with open(report_path) as f:
             all_entries = [json.loads(x) for x in f if x.strip()]
     agg = {"clips": len(all_entries)}
-    for k in ("fps", "psnr", "ssim"):
+    for k in ("fps", "psnr", "ssim", "lpips"):
         vals = [e[k] for e in all_entries if k in e]
         if vals:
             agg[k] = round(float(np.mean(vals)), 4)

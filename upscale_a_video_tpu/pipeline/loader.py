@@ -65,11 +65,32 @@ class HFTokenizerAdapter:
 
 
 class FallbackTokenizer:
-    """Deterministic stand-in when no tokenizer assets are available."""
+    """Deterministic stand-in when no tokenizer assets are available.
+
+    The ids it fabricates are byte hashes, NOT CLIP BPE tokens — conditioning
+    built from them is garbage. It exists so shape/perf tests can run without
+    tokenizer assets; every construction and every call warns loudly so a real
+    run can never silently produce wrong conditioning.
+    """
+
+    def __init__(self):
+        import warnings
+
+        warnings.warn(
+            "FallbackTokenizer in use: transformers/tokenizer assets are "
+            "missing, prompt conditioning will be MEANINGLESS. Install "
+            "transformers or pass a tokenizer dir for real runs.",
+            RuntimeWarning, stacklevel=2,
+        )
 
     def __call__(self, prompts):
+        import logging
+
         import numpy as np
 
+        logging.getLogger(__name__).warning(
+            "FallbackTokenizer encoding %d prompt(s) with byte-hash ids — "
+            "NOT real CLIP tokens", len(prompts))
         ids = np.full((len(prompts), 77), 49407, dtype=np.int32)
         ids[:, 0] = 49406
         for i, p in enumerate(prompts):
