@@ -31,9 +31,11 @@ B, T = 2, 8
 SIZE = 256
 
 
-def timed(name, module, *args, reps=3, method=None):
-    import flax.linen as nn  # noqa: F401
-
+def timed(name, module, *args, reps=8, method=None):
+    """CHAINED timing: rep i+1 consumes rep i's output (module output must
+    have the input's shape, true for all blocks here). Unchained rep loops
+    can report impossibly fast times through the axon tunnel — unconsumed
+    executions appear to be elided (see scripts/_timing.py)."""
     import gc
 
     def scalar(o):
@@ -45,12 +47,16 @@ def timed(name, module, *args, reps=3, method=None):
         params = jax.jit(module.init)(jax.random.PRNGKey(0), *args)
         fn = jax.jit(lambda p, *a: module.apply(p, *a))
         scalar(fn(params, *args))
+        cur = args[0]
         t0 = time.time()
         for _ in range(reps):
-            out = fn(params, *args)
-        scalar(out)
+            cur = fn(params, cur, *args[1:])
+            if isinstance(cur, tuple):
+                cur = cur[0]
+        scalar(cur)
         dt = (time.time() - t0) / reps * 1e3
         print(f"{name:55s} {dt:8.1f} ms", flush=True)
+        out = cur
         return dt
     except Exception as e:  # noqa: BLE001
         print(f"{name:55s} FAIL {type(e).__name__}: {str(e)[:120]}", flush=True)

@@ -181,3 +181,69 @@ class TestPabPipeline:
         np.testing.assert_array_equal(
             f["temporal"], [False, False, False, True, False, True, False, True,
                             False, False])
+
+
+class TestKindRestrictedCache:
+    def test_cross_only_cache_structure_and_equivalence(self, modules):
+        """kinds=("cross",): only attn1(cross-levels)/attn2 deltas ride the
+        cache; spatial/temporal recompute every step. Pipeline result equals
+        a manual loop threading the same restricted cache."""
+        unet, params = modules.unet, modules.unet_params
+        sched = modules.scheduler
+        steps = 4
+        cfgp = PABConfig(cross_range=2, spatial_range=2, temporal_range=2,
+                         start_step=1, kinds=("cross",))
+        img = jax.random.uniform(jax.random.PRNGKey(30), (1, 2, 8, 8, 3),
+                                 minval=-1, maxval=1)
+        pipe = VideoUpscalePipeline(modules, dtype=jnp.float32, pab=cfgp)
+        key = jax.random.PRNGKey(31)
+        _, got_lat = pipe("p", img, num_inference_steps=steps,
+                          guidance_scale=1.0, noise_level=20, key=key,
+                          return_latents=True)
+
+        prompt_embeds = pipe.encode_prompt(["p"], None, False)
+        k, nkey, lkey = jax.random.split(key, 3)
+        noise = jax.random.normal(nkey, img.shape, jnp.float32)
+        noised = modules.low_res_scheduler.add_noise(
+            img.astype(jnp.float32), noise, jnp.full((1,), 20))
+        lvl = jnp.full((1,), 20, jnp.int32)
+        lat = jax.random.normal(lkey, (1, 2, 8, 8, 4), jnp.float32)
+
+        flags = cfgp.use_cached_flags(steps)
+        cache = unet.make_pab_collect_cache(kinds=("cross",))
+        # only_cross levels (down_1..3/up_0..2 in the released layout) cache
+        # attn1+attn2; the mid block (spatial attn1) caches only attn2
+        assert set(cache["mid"][0][0].keys()) == {"attn2"}
+        for i, tt in enumerate(sched.timesteps(steps)):
+            f = {kind: bool(flags[kind][i]) for kind in flags}
+            pred, cache = unet.apply(params, lat, int(tt), noised,
+                                     prompt_embeds, lvl, attn_cache=cache,
+                                     use_flags=f)
+            for lvl_cache in cache.values():
+                for layer in lvl_cache:
+                    for blk in layer:
+                        assert "attn_temporal" not in blk
+                        assert set(blk) <= {"attn1", "attn2"}
+            pred = pred.astype(jnp.float32)
+            x0 = sched.step_v0(pred, int(tt), lat)
+            lat = sched.step_vt(x0, pred, int(tt), lat, steps)
+
+        np.testing.assert_allclose(np.asarray(got_lat), np.asarray(lat),
+                                   atol=5e-4, rtol=1e-3)
+
+    def test_cross_only_range1_equals_baseline(self, modules):
+        """kinds=("cross",) with every range=1 (always recompute) must be
+        bit-equal to the no-PAB pipeline."""
+        img = jax.random.uniform(jax.random.PRNGKey(32), (1, 2, 8, 8, 3),
+                                 minval=-1, maxval=1)
+        key = jax.random.PRNGKey(33)
+        base = VideoUpscalePipeline(modules, dtype=jnp.float32)
+        a = base("p", img, num_inference_steps=3, guidance_scale=1.0,
+                 noise_level=20, key=key)
+        cfgp = PABConfig(cross_range=1, spatial_range=1, temporal_range=1,
+                         kinds=("cross",))
+        pab = VideoUpscalePipeline(modules, dtype=jnp.float32, pab=cfgp)
+        b = pab("p", img, num_inference_steps=3, guidance_scale=1.0,
+                noise_level=20, key=key)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)

@@ -49,24 +49,49 @@ class UNetVideoModel(nn.Module):
             return block_cls
         return nn.remat(block_cls, static_argnums=static_argnums)
 
-    def make_pab_collect_cache(self, skip=()):
+    def make_pab_collect_cache(self, skip=(), kinds=None):
         """Empty cache structure for PAB: calling with this collects the
         attention deltas of every transformer block (see nn/attention.py
         BasicTransformerBlock._cached). Levels named in ``skip`` (e.g.
         "down_0", "up_3", "mid") are left out of the cache entirely — their
         blocks recompute attention every step, which bounds the HBM the cache
-        adds to the denoise-scan carry (the finest level dominates)."""
+        adds to the denoise-scan carry (the finest level dominates).
+
+        ``kinds`` (subset of {"spatial","cross","temporal"}) restricts which
+        attention kinds are cached: a per-block marker dict lists only the
+        cacheable entries (an empty-tuple leafless marker per key), the rest
+        recompute every step. E.g. kinds=("cross",) caches only the text
+        cross-attentions — the longest PAB reuse range — at a fraction of
+        the full cache's HBM, which lets ALL levels cache on one chip."""
         cfg = self.config
+
+        def block_marker(only_cross: bool):
+            if kinds is None:
+                return {}  # {} = collect every kind (original behavior)
+            marker = {}
+            if ("cross" if only_cross else "spatial") in kinds:
+                marker["attn1"] = ()
+            if "cross" in kinds:
+                marker["attn2"] = ()
+            if "temporal" in kinds:
+                marker["attn_temporal"] = ()
+            return marker
+
         skip = set(skip)
         cache = {}
         for i, bt in enumerate(cfg.down_block_types):
             if bt == "CrossAttnDownBlock3D" and f"down_{i}" not in skip:
-                cache[f"down_{i}"] = tuple(({},) for _ in range(cfg.layers_per_block))
+                cache[f"down_{i}"] = tuple(
+                    (block_marker(cfg.only_cross_attention[i]),)
+                    for _ in range(cfg.layers_per_block))
         if "mid" not in skip:
-            cache["mid"] = (({},),)
+            cache["mid"] = ((block_marker(False),),)
+        only_cross_up = list(reversed(cfg.only_cross_attention))
         for i, bt in enumerate(cfg.up_block_types):
             if bt == "CrossAttnUpBlock3D" and f"up_{i}" not in skip:
-                cache[f"up_{i}"] = tuple(({},) for _ in range(cfg.layers_per_block + 1))
+                cache[f"up_{i}"] = tuple(
+                    (block_marker(only_cross_up[i]),)
+                    for _ in range(cfg.layers_per_block + 1))
         return cache
 
     @nn.compact

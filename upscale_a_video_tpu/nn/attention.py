@@ -242,12 +242,74 @@ class FeedForward(nn.Module):
                         name="net_2")(h)
 
 
+class _FFParams(nn.Module):
+    """Param twin of FeedForward (GEGLU net_0/proj + net_2) for the fused
+    LN+GEGLU kernel path (ops/fused_feedforward.py)."""
+
+    dim: int
+    param_dtype: jnp.dtype = jnp.float32
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self):
+        from .blocks import _DenseParams
+
+        hid = self.dim * self.mult
+
+        class _Net0(nn.Module):
+            param_dtype: jnp.dtype
+            dim: int
+            hid: int
+
+            @nn.compact
+            def __call__(self):
+                return _DenseParams(self.hid * 2, self.param_dtype,
+                                    name="proj")(self.dim)
+
+        w1, b1 = _Net0(self.param_dtype, self.dim, hid, name="net_0")()
+        w2, b2 = _DenseParams(self.dim, self.param_dtype, name="net_2")(hid)
+        return w1, b1, w2, b2
+
+
+class _FusedCrossParams(nn.Module):
+    """Param twin of CrossAttention for the fused short-KV kernel path:
+    declares the identical to_q/to_k/to_v/to_out_0 tree; computes k/v on the
+    (unrepeated) context in XLA (tiny) and returns the raw q/out weights for
+    ops/cross_attention_block.py."""
+
+    query_dim: int
+    cross_attention_dim: int
+    heads: int
+    dim_head: int
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, kv_src: jax.Array):
+        from .blocks import _DenseParams
+
+        inner = self.heads * self.dim_head
+        wq, _ = _DenseParams(inner, self.param_dtype, use_bias=False,
+                             name="to_q")(self.query_dim)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="to_k")(kv_src)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="to_v")(kv_src)
+        wo, bo = _DenseParams(self.query_dim, self.param_dtype,
+                              name="to_out_0")(inner)
+        return wq, k, v, wo, bo
+
+
 class BasicTransformerBlock(nn.Module):
     """attn1 (self or text-cross) → attn2 (text cross) → temporal attention →
     GEGLU FF (ref attention.py:414-564).
 
     Inputs: ``hidden_states`` (B*T, S, C) per-frame tokens; ``context``
     (B*T, S_txt, C_txt); ``video_length`` T for the temporal reshape.
+
+    On TPU the two text cross-attentions (+ their LayerNorms) run as one
+    fused Pallas pass each (ops/cross_attention_block.py) — same math, same
+    parameter tree, one HBM round-trip instead of ~8.
     """
 
     dim: int
@@ -263,8 +325,11 @@ class BasicTransformerBlock(nn.Module):
         when ``flag`` is true, else recompute (PAPERS.md: PAB — attention
         outputs drift slowly across denoise steps). ``lax.cond`` skips the
         attention compute entirely on broadcast steps at runtime. During init
-        we always compute so flax creates the params."""
-        if cache is None or self.is_initializing():
+        we always compute so flax creates the params. A leafless marker cache
+        (the () placeholder from make_pab_collect_cache) means "collect on
+        this call" — compute directly."""
+        if (cache is None or self.is_initializing()
+                or not hasattr(cache, "dtype")):
             return compute()
         return jax.lax.cond(flag, lambda: cache, compute)
 
@@ -280,41 +345,90 @@ class BasicTransformerBlock(nn.Module):
         """Returns hidden_states, or (hidden_states, new_cache) when
         ``attn_cache`` is given. Cache entries are the attention *deltas*
         (post-projection outputs before the residual add)."""
+        import os
+
+        from .blocks import _GNParams
+        from ..ops.cross_attention_block import (
+            cross_attention_block_fits, fused_cross_attention_block)
+
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                        param_dtype=self.param_dtype, name=name)
         want_cache = attn_cache is not None
         cache_in = attn_cache or {}
         flags = use_flags or {}
         new_cache = {}
+        # {} caches every kind (original behavior); a marker dict restricts
+        # caching to its keys (make_pab_collect_cache kinds=...)
+        cache_key = (lambda key: not cache_in or key in cache_in)
+
+        fuse_cross = (
+            context is not None
+            and (jax.devices()[0].platform == "tpu"
+                 or os.environ.get("UAV_FORCE_FUSED_CROSS"))
+            and not os.environ.get("UAV_NO_FUSED_CROSS")
+            and cross_attention_block_fits(hidden_states.shape,
+                                           context.shape[-2], self.heads,
+                                           self.dim_head)
+        )
+        # the per-clip context: frames share it (Transformer3DModel repeats
+        # it per frame; slicing every T-th row recovers the clip batch)
+        kv_src = context[::video_length] if fuse_cross else None
+
+        def fused_cross(norm_name, attn_name):
+            lns, lnb = _GNParams(self.dim, self.param_dtype, name=norm_name)()
+            wq, k, v, wo, bo = _FusedCrossParams(
+                query_dim=self.dim, cross_attention_dim=context.shape[-1],
+                heads=self.heads, dim_head=self.dim_head, dtype=self.dtype,
+                param_dtype=self.param_dtype, name=attn_name)(kv_src)
+            def compute(x):
+                return fused_cross_attention_block(
+                    x, lns, lnb, wq, k, v, wo, bo, heads=self.heads,
+                    dim_head=self.dim_head, t_repeat=video_length)
+            return compute
 
         # attn1: text-cross when only_cross_attention (3 of 4 levels in the
         # released config), otherwise spatial self-attention per frame.
-        h = ln("norm1")(hidden_states)
-        attn1 = CrossAttention(
-            query_dim=self.dim,
-            cross_attention_dim=self.cross_attention_dim if self.only_cross_attention else None,
-            heads=self.heads, dim_head=self.dim_head,
-            dtype=self.dtype, param_dtype=self.param_dtype, name="attn1",
-        )
         kind1 = "cross" if self.only_cross_attention else "spatial"
-        d1 = self._cached(
-            lambda: attn1(h, context if self.only_cross_attention else None),
-            cache_in.get("attn1"), flags.get(kind1, False),
-        )
-        new_cache["attn1"] = d1
+        if self.only_cross_attention and fuse_cross:
+            compute1 = fused_cross("norm1", "attn1")
+            hs1 = hidden_states
+            d1 = self._cached(lambda: compute1(hs1),
+                              cache_in.get("attn1"), flags.get(kind1, False))
+        else:
+            h = ln("norm1")(hidden_states)
+            attn1 = CrossAttention(
+                query_dim=self.dim,
+                cross_attention_dim=self.cross_attention_dim if self.only_cross_attention else None,
+                heads=self.heads, dim_head=self.dim_head,
+                dtype=self.dtype, param_dtype=self.param_dtype, name="attn1",
+            )
+            d1 = self._cached(
+                lambda: attn1(h, context if self.only_cross_attention else None),
+                cache_in.get("attn1"), flags.get(kind1, False),
+            )
+        if cache_key("attn1"):
+            new_cache["attn1"] = d1
         hidden_states = d1 + hidden_states
 
         # attn2: text cross-attention
         if self.cross_attention_dim is not None:
-            h = ln("norm2")(hidden_states)
-            attn2 = CrossAttention(
-                query_dim=self.dim, cross_attention_dim=self.cross_attention_dim,
-                heads=self.heads, dim_head=self.dim_head,
-                dtype=self.dtype, param_dtype=self.param_dtype, name="attn2",
-            )
-            d2 = self._cached(lambda: attn2(h, context),
-                              cache_in.get("attn2"), flags.get("cross", False))
-            new_cache["attn2"] = d2
+            if fuse_cross:
+                compute2 = fused_cross("norm2", "attn2")
+                hs2 = hidden_states
+                d2 = self._cached(lambda: compute2(hs2),
+                                  cache_in.get("attn2"),
+                                  flags.get("cross", False))
+            else:
+                h = ln("norm2")(hidden_states)
+                attn2 = CrossAttention(
+                    query_dim=self.dim, cross_attention_dim=self.cross_attention_dim,
+                    heads=self.heads, dim_head=self.dim_head,
+                    dtype=self.dtype, param_dtype=self.param_dtype, name="attn2",
+                )
+                d2 = self._cached(lambda: attn2(h, context),
+                                  cache_in.get("attn2"), flags.get("cross", False))
+            if cache_key("attn2"):
+                new_cache["attn2"] = d2
             hidden_states = d2 + hidden_states
 
         # temporal attention: (B*T, S, C) -> (B*S, T, C) (ref attention.py:553-560)
@@ -329,16 +443,32 @@ class BasicTransformerBlock(nn.Module):
         )
         dt_ = self._cached(lambda: attn_t(h), cache_in.get("attn_temporal"),
                            flags.get("temporal", False))
-        new_cache["attn_temporal"] = dt_
+        if cache_key("attn_temporal"):
+            new_cache["attn_temporal"] = dt_
         x = dt_ + x
         x = x.reshape(b, s, video_length, c).transpose(0, 2, 1, 3)
         hidden_states = x.reshape(bt, s, c)
 
         # feed-forward
-        h = ln("norm3")(hidden_states)
-        hidden_states = FeedForward(
-            self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="ff"
-        )(h) + hidden_states
+        from ..ops.fused_feedforward import feedforward_fits, fused_feedforward
+
+        fuse_ff = (
+            (jax.devices()[0].platform == "tpu"
+             or os.environ.get("UAV_FORCE_FUSED_CROSS"))
+            and not os.environ.get("UAV_NO_FUSED_FF")
+            and feedforward_fits(hidden_states.shape)
+        )
+        if fuse_ff:
+            lns3, lnb3 = _GNParams(self.dim, self.param_dtype, name="norm3")()
+            w1, b1, w2, b2 = _FFParams(self.dim, self.param_dtype,
+                                       name="ff")()
+            hidden_states = fused_feedforward(
+                hidden_states, lns3, lnb3, w1, b1, w2, b2) + hidden_states
+        else:
+            h = ln("norm3")(hidden_states)
+            hidden_states = FeedForward(
+                self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="ff"
+            )(h) + hidden_states
         if want_cache:
             return hidden_states, new_cache
         return hidden_states

@@ -66,7 +66,10 @@ def build_sharded_denoise(
     if pab is not None:
         pab_flag_arrays = pab.use_cached_flags(num_inference_steps)
         pab_flags = {k: jnp.asarray(v) for k, v in pab_flag_arrays.items()}
-        collect_struct = unet.make_pab_collect_cache(skip=pab.skip_levels)
+        collect_struct = unet.make_pab_collect_cache(
+            skip=pab.skip_levels,
+            kinds=(None if set(pab.kinds) == {"spatial", "cross", "temporal"}
+                   else pab.kinds))
 
     def local_denoise(params, latents, image_noised, prompt_embeds, denoise_level,
                       flows_f=None, flows_b=None):

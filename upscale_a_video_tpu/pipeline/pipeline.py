@@ -54,6 +54,11 @@ class PABConfig:
     # little speedup for a lot of HBM (the cache rides the whole denoise
     # scan). E.g. ("down_0", "up_3") on the released 4-level config.
     skip_levels: Tuple[str, ...] = ()
+    # Attention kinds that are cached; the rest recompute every step. The
+    # cross attentions have the longest reuse range (cross_range) and the
+    # smallest per-delta HBM relative to their compute, so kinds=("cross",)
+    # caches ALL levels within one chip's HBM where full-kind caching OOMs.
+    kinds: Tuple[str, ...] = ("spatial", "cross", "temporal")
 
     def use_cached_flags(self, num_steps: int):
         """(steps,) bool arrays per attention kind: True = reuse cache."""
@@ -190,8 +195,12 @@ class VideoUpscalePipeline:
         group = self.window_group if self.window_group > 0 else n_win
 
         pab = self.pab
-        collect_struct = (unet.make_pab_collect_cache(skip=pab.skip_levels)
-                          if pab is not None else None)
+        collect_struct = (
+            unet.make_pab_collect_cache(
+                skip=pab.skip_levels,
+                kinds=(None if set(pab.kinds)
+                       == {"spatial", "cross", "temporal"} else pab.kinds))
+            if pab is not None else None)
 
         def unet_on_windows(unet_params, latent_in, image_in, tstep, prompt_embeds,
                             denoise_level, attn_cache=None, flags=None):
