@@ -1,0 +1,86 @@
+"""ShardedVideoUpscalePipeline == single-chip VideoUpscalePipeline on an
+8-device CPU mesh (same seed, same modules), at a clip length the temporal
+mesh cannot shard (T=10 on 8 devices)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from tests.test_pipeline import DummyTokenizer
+from upscale_a_video_tpu.config import UNetVideoConfig, VaeConfig
+from upscale_a_video_tpu.models import AutoencoderKLVideo, UNetVideoModel
+from upscale_a_video_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
+from upscale_a_video_tpu.parallel.eval_pipeline import ShardedVideoUpscalePipeline
+from upscale_a_video_tpu.pipeline.pipeline import PipelineModules, VideoUpscalePipeline
+from upscale_a_video_tpu.sampling import DDIMScheduler, DDIMSchedulerConfig, DDPMScheduler
+
+TINY = UNetVideoConfig(block_out_channels=(8, 16, 16, 32), attention_head_dim=4,
+                       norm_num_groups=4, cross_attention_dim=16)
+
+
+@pytest.fixture(scope="module")
+def modules():
+    unet = UNetVideoModel(TINY)
+    vae = AutoencoderKLVideo(VaeConfig(block_out_channels=(8, 16, 16),
+                                       norm_num_groups=4))
+    clip = CLIPTextModel(CLIPTextConfig(vocab_size=64, hidden_size=16,
+                                        intermediate_size=32, num_hidden_layers=2,
+                                        num_attention_heads=2,
+                                        max_position_embeddings=8))
+    unet_params = unet.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 8, 8, 4)), 0,
+                            jnp.zeros((1, 2, 8, 8, 3)), jnp.zeros((1, 8, 16)), 0)
+    return PipelineModules(
+        unet=unet, unet_params=unet_params,
+        vae=vae, vae_params=vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 1, 8, 8, 3))),
+        text_encoder=clip,
+        text_params=clip.init(jax.random.PRNGKey(2), jnp.zeros((1, 8), jnp.int32)),
+        tokenizer=DummyTokenizer(),
+        scheduler=DDIMScheduler(DDIMSchedulerConfig(beta_schedule="scaled_linear")),
+        low_res_scheduler=DDPMScheduler(),
+    )
+
+
+def test_sharded_pipeline_matches_single(modules):
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("win",))
+    img = jax.random.uniform(jax.random.PRNGKey(5), (1, 10, 8, 8, 3),
+                             minval=-1, maxval=1)
+    key = jax.random.PRNGKey(10)
+
+    single = VideoUpscalePipeline(modules, dtype=jnp.float32,
+                                  decode_dtype=jnp.float32)
+    want = single("p", img, num_inference_steps=2, guidance_scale=3.0,
+                  noise_level=20, key=key)
+
+    sharded = ShardedVideoUpscalePipeline(modules, mesh, dtype=jnp.float32,
+                                          decode_dtype=jnp.float32)
+    got = sharded("p", img, num_inference_steps=2, guidance_scale=3.0,
+                  noise_level=20, key=key)
+
+    assert got.shape == want.shape == (1, 10, 32, 32, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=5e-5)
+
+
+def test_sharded_pipeline_with_propagation(modules):
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("win",))
+    img = jax.random.uniform(jax.random.PRNGKey(6), (1, 4, 8, 8, 3),
+                             minval=-1, maxval=1)
+    flows = (0.5 * jax.random.normal(jax.random.PRNGKey(7), (1, 3, 8, 8, 2)),
+             0.5 * jax.random.normal(jax.random.PRNGKey(8), (1, 3, 8, 8, 2)))
+    key = jax.random.PRNGKey(11)
+
+    single = VideoUpscalePipeline(modules, dtype=jnp.float32,
+                                  decode_dtype=jnp.float32)
+    want = single("p", img, flows_bi=flows, num_inference_steps=3,
+                  guidance_scale=3.0, noise_level=20,
+                  propagation_steps=(1,), key=key)
+
+    sharded = ShardedVideoUpscalePipeline(modules, mesh, dtype=jnp.float32,
+                                          decode_dtype=jnp.float32)
+    got = sharded("p", img, flows_bi=flows, num_inference_steps=3,
+                  guidance_scale=3.0, noise_level=20,
+                  propagation_steps=(1,), key=key)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=5e-5)

@@ -242,6 +242,41 @@ class FeedForward(nn.Module):
                         name="net_2")(h)
 
 
+class _TemporalAttnParams(nn.Module):
+    """Param twin of TemporalAttention for the fused kernel path: same
+    to_q/to_k/to_v/relative_attention_bias/to_out_0 tree; returns the raw
+    weights + the materialized (H, T, T) rel-pos bias."""
+
+    query_dim: int
+    heads: int
+    dim_head: int
+    rel_pos_num_buckets: int = 32
+    rel_pos_max_distance: int = 32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t: int):
+        from .blocks import _DenseParams
+
+        inner = self.heads * self.dim_head
+        wq, _ = _DenseParams(inner, self.param_dtype, use_bias=False,
+                             name="to_q")(self.query_dim)
+        wk, _ = _DenseParams(inner, self.param_dtype, use_bias=False,
+                             name="to_k")(self.query_dim)
+        wv, _ = _DenseParams(inner, self.param_dtype, use_bias=False,
+                             name="to_v")(self.query_dim)
+        buckets = relative_position_buckets(
+            t, self.rel_pos_num_buckets, self.rel_pos_max_distance)
+        bias_table = self.param(
+            "relative_attention_bias", nn.initializers.normal(stddev=1.0),
+            (self.rel_pos_num_buckets, self.heads), self.param_dtype)
+        bias_hss = bias_table[jnp.asarray(buckets)].transpose(2, 0, 1)
+        wo, bo = _DenseParams(self.query_dim, self.param_dtype,
+                              kernel_init=nn.initializers.zeros_init(),
+                              name="to_out_0")(inner)
+        return wq, wk, wv, wo, bo, bias_hss
+
+
 class _FFParams(nn.Module):
     """Param twin of FeedForward (GEGLU net_0/proj + net_2) for the fused
     LN+GEGLU kernel path (ops/fused_feedforward.py)."""
@@ -431,23 +466,54 @@ class BasicTransformerBlock(nn.Module):
                 new_cache["attn2"] = d2
             hidden_states = d2 + hidden_states
 
-        # temporal attention: (B*T, S, C) -> (B*S, T, C) (ref attention.py:553-560)
+        # temporal attention (ref attention.py:553-560). On TPU the whole
+        # step — both layout transposes, LN, q/k/v with RoPE, packed T=8
+        # attention with the T5 bias, out-proj — is one Pallas pass in the
+        # native (B·T, S, C) layout (ops/temporal_attention_block.py).
+        from ..ops.temporal_attention_block import (
+            fused_temporal_attention_block, temporal_attention_block_fits)
+
         bt, s, c = hidden_states.shape
         b = bt // video_length
-        x = hidden_states.reshape(b, video_length, s, c).transpose(0, 2, 1, 3)
-        x = x.reshape(b * s, video_length, c)
-        h = ln("norm_temporal")(x)
-        attn_t = TemporalAttention(
-            query_dim=self.dim, heads=self.heads, dim_head=self.dim_head,
-            dtype=self.dtype, param_dtype=self.param_dtype, name="attn_temporal",
+        fuse_temporal = (
+            (jax.devices()[0].platform == "tpu"
+             or os.environ.get("UAV_FORCE_FUSED_CROSS"))
+            and not os.environ.get("UAV_NO_FUSED_TEMPORAL")
+            and temporal_attention_block_fits(hidden_states.shape,
+                                              video_length, self.heads)
         )
-        dt_ = self._cached(lambda: attn_t(h), cache_in.get("attn_temporal"),
-                           flags.get("temporal", False))
-        if cache_key("attn_temporal"):
-            new_cache["attn_temporal"] = dt_
-        x = dt_ + x
-        x = x.reshape(b, s, video_length, c).transpose(0, 2, 1, 3)
-        hidden_states = x.reshape(bt, s, c)
+        if fuse_temporal:
+            from .blocks import _GNParams
+            lnst, lnbt = _GNParams(self.dim, self.param_dtype,
+                                   name="norm_temporal")()
+            wq, wk, wv, wo, bo, bias_hss = _TemporalAttnParams(
+                query_dim=self.dim, heads=self.heads, dim_head=self.dim_head,
+                param_dtype=self.param_dtype, name="attn_temporal",
+            )(video_length)
+            hst = hidden_states
+            dt_ = self._cached(
+                lambda: fused_temporal_attention_block(
+                    hst, lnst, lnbt, wq, wk, wv, wo, bo, bias_hss,
+                    video_length=video_length),
+                cache_in.get("attn_temporal"), flags.get("temporal", False))
+            if cache_key("attn_temporal"):
+                new_cache["attn_temporal"] = dt_
+            hidden_states = dt_ + hidden_states
+        else:
+            x = hidden_states.reshape(b, video_length, s, c).transpose(0, 2, 1, 3)
+            x = x.reshape(b * s, video_length, c)
+            h = ln("norm_temporal")(x)
+            attn_t = TemporalAttention(
+                query_dim=self.dim, heads=self.heads, dim_head=self.dim_head,
+                dtype=self.dtype, param_dtype=self.param_dtype, name="attn_temporal",
+            )
+            dt_ = self._cached(lambda: attn_t(h), cache_in.get("attn_temporal"),
+                               flags.get("temporal", False))
+            if cache_key("attn_temporal"):
+                new_cache["attn_temporal"] = dt_
+            x = dt_ + x
+            x = x.reshape(b, s, video_length, c).transpose(0, 2, 1, 3)
+            hidden_states = x.reshape(bt, s, c)
 
         # feed-forward
         from ..ops.fused_feedforward import feedforward_fits, fused_feedforward

@@ -298,10 +298,11 @@ class _DenseParams(nn.Module):
     features: int
     param_dtype: jnp.dtype = jnp.float32
     use_bias: bool = True
+    kernel_init: Callable = default_kernel_init
 
     @nn.compact
     def __call__(self, in_features: int):
-        kernel = self.param("kernel", default_kernel_init,
+        kernel = self.param("kernel", self.kernel_init,
                             (in_features, self.features), self.param_dtype)
         bias = (self.param("bias", nn.initializers.zeros_init(),
                            (self.features,), self.param_dtype)
