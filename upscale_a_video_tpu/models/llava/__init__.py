@@ -1,3 +1,5 @@
 from .llava import LlavaConfig, LlavaModel, LlavaCaptioner
+from .mpt import MPTConfig, MPTForCausalLM
 
-__all__ = ["LlavaConfig", "LlavaModel", "LlavaCaptioner"]
+__all__ = ["LlavaConfig", "LlavaModel", "LlavaCaptioner", "MPTConfig",
+           "MPTForCausalLM"]

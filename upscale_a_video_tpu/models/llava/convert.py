@@ -49,6 +49,43 @@ LLAVA_RENAMES: Dict[str, str] = {
 }
 
 
+# MPT decoder (ref llava/model/language_model/mpt/, HF mosaicml/mpt-* key
+# schema: transformer.{wte,wpe,norm_f}, transformer.blocks.N.{norm_1,
+# attn.Wqkv,attn.out_proj,norm_2,ffn.up_proj,ffn.down_proj}). The generic
+# index rule turns flax ``norm_1`` into ``norm.1`` — undone here.
+MPT_RENAMES: Dict[str, str] = {
+    "attn_Wqkv": "attn.Wqkv",
+    "attn_out_proj": "attn.out_proj",
+    "attn_q_ln": "attn.q_ln",
+    "attn_k_ln": "attn.k_ln",
+    "ffn_up_proj": "ffn.up_proj",
+    "ffn_down_proj": "ffn.down_proj",
+    "norm.1": "norm_1",
+    "norm.2": "norm_2",
+    "blocks.": "transformer.blocks.",
+    "wte.weight": "transformer.wte.weight",
+    "wpe.weight": "transformer.wpe.weight",
+    "norm_f.": "transformer.norm_f.",
+}
+
+# The same table with keys prefixed for the MPT LM living inside LlavaModel
+# (flax path ``language_model/...`` → ``transformer....``).
+LLAVA_MPT_RENAMES: Dict[str, str] = dict(
+    {"language_model.": ""},
+    **{k: v for k, v in LLAVA_RENAMES.items() if "vision" in k
+       or "mm_projector" in k or k.startswith("mlp_fc")
+       or "class_embedding" in k or "position_embedding" in k},
+    **MPT_RENAMES,
+)
+
+
+def convert_mpt(template_params, torch_state: Dict[str, np.ndarray],
+                strict: bool = True):
+    """HF/mosaicml MPT state dict → flax ``MPTForCausalLM`` params."""
+    return convert_state_dict(template_params, torch_state,
+                              renames=MPT_RENAMES, strict=strict)
+
+
 def apply_delta(base: Dict[str, np.ndarray], delta: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """base + delta (ref llava/model/apply_delta.py): elementwise add; rows
     beyond the base vocab (embed_tokens / lm_head) come from the delta."""

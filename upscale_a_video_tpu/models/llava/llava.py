@@ -31,13 +31,31 @@ from .llama import (
     causal_prefill_mask,
     decode_step_mask,
 )
+from .mpt import MPTConfig, MPTForCausalLM
 
 
 @dataclasses.dataclass(frozen=True)
 class LlavaConfig:
     vision: CLIPVisionConfig = CLIPVisionConfig()
     text: LlamaConfig = LlamaConfig()
+    # when set, the language model is MPT instead of LLaMA (ref
+    # llava/model/language_model/llava_mpt.py ``LlavaMPTForCausalLM``)
+    text_mpt: Optional[MPTConfig] = None
     projector_hidden: Optional[int] = None  # defaults to text hidden size
+
+    @property
+    def lm_hidden(self) -> int:
+        return self.text_mpt.d_model if self.text_mpt else self.text.hidden_size
+
+    @property
+    def lm_dims(self):
+        """(n_layers, kv_heads, head_dim) for KV-cache allocation."""
+        if self.text_mpt:
+            c = self.text_mpt
+            return c.n_layers, (1 if c.multiquery else c.n_heads), c.head_dim
+        c = self.text
+        return (c.num_hidden_layers, c.kv_heads,
+                c.hidden_size // c.num_attention_heads)
 
 
 class LlavaModel(nn.Module):
@@ -47,10 +65,13 @@ class LlavaModel(nn.Module):
     def setup(self):
         cfg = self.config
         self.vision_tower = CLIPVisionTower(cfg.vision, dtype=self.dtype)
-        ph = cfg.projector_hidden or cfg.text.hidden_size
+        ph = cfg.projector_hidden or cfg.lm_hidden
         self.mm_projector_0 = nn.Dense(ph, dtype=self.dtype)
-        self.mm_projector_2 = nn.Dense(cfg.text.hidden_size, dtype=self.dtype)
-        self.language_model = LlamaForCausalLM(cfg.text, dtype=self.dtype)
+        self.mm_projector_2 = nn.Dense(cfg.lm_hidden, dtype=self.dtype)
+        if cfg.text_mpt is not None:
+            self.language_model = MPTForCausalLM(cfg.text_mpt, dtype=self.dtype)
+        else:
+            self.language_model = LlamaForCausalLM(cfg.text, dtype=self.dtype)
 
     def encode_image(self, pixels: jax.Array) -> jax.Array:
         """(B, H, W, 3) → (B, n_patches, text_hidden) projected features."""
@@ -73,11 +94,10 @@ class LlavaModel(nn.Module):
 
     def prefill(self, inputs_embeds: jax.Array, max_len: int):
         """Run the full prompt; returns (logits_last, kv_caches)."""
-        cfg = self.config.text
+        n_layers, kv_heads, d = self.config.lm_dims
         b, s, _ = inputs_embeds.shape
-        d = cfg.hidden_size // cfg.num_attention_heads
         kv = jnp.zeros(
-            (cfg.num_hidden_layers, 2, b, cfg.kv_heads, max_len, d),
+            (n_layers, 2, b, kv_heads, max_len, d),
             inputs_embeds.dtype,
         )
         positions = jnp.arange(s)
