@@ -104,7 +104,19 @@ class UNetVideoModel(nn.Module):
         class_labels,                  # noise level, scalar or (B,)
         attn_cache=None,               # PAB cache pytree (make_pab_collect_cache)
         use_flags=None,                # {"cross","spatial","temporal"}: traced bools
+        cfg_dup: bool = False,         # CFG shared-prefix (see below)
     ):
+        """``cfg_dup``: classifier-free guidance runs the UNet on a batch
+        where each latent row appears twice — once against the uncond and
+        once against the cond text (ref pipeline_upscale_a_video.py:614).
+        Until the first cross-attention, the two rows compute *identical*
+        values (level-0 blocks and temporal modules never see the text), so
+        with ``cfg_dup=True`` the caller passes ``sample``/``low_res`` at
+        batch n and ``encoder_hidden_states`` at batch 2n ordered
+        ``[uncond×n, cond×n]``; the shared prefix runs at batch n and is
+        duplicated (concat-of-halves) right before the first text-consuming
+        block. Output batch is 2n in the same half order. Exact — tested
+        equal to the duplicated-batch call."""
         cfg = self.config
         dt = self.dtype
         want_cache = attn_cache is not None
@@ -112,6 +124,11 @@ class UNetVideoModel(nn.Module):
 
         sample = jnp.concatenate([sample, low_res], axis=-1)
         b = sample.shape[0]
+        if cfg_dup:
+            assert encoder_hidden_states.shape[0] == 2 * b, (
+                "cfg_dup expects ctx batch 2n for sample batch n")
+        tiled = not cfg_dup
+        _dup = lambda x: jnp.concatenate([x, x], axis=0)
 
         # time + noise-level embedding
         timesteps = jnp.broadcast_to(jnp.asarray(timestep).reshape(-1), (b,))
@@ -152,6 +169,13 @@ class UNetVideoModel(nn.Module):
             input_channel = output_channel
             output_channel = cfg.block_out_channels[i]
             is_final = i == n_blocks - 1
+            if block_type == "CrossAttnDownBlock3D" and not tiled:
+                # first text-consuming block: replicate the shared prefix
+                sample = _dup(sample)
+                emb = _dup(emb)
+                down_block_res_samples = tuple(
+                    _dup(r) for r in down_block_res_samples)
+                tiled = True
             if block_type == "CrossAttnDownBlock3D":
                 block = self._maybe_remat(CrossAttnDownBlock3D)(
                     in_channels=input_channel, out_channels=output_channel,
@@ -193,6 +217,11 @@ class UNetVideoModel(nn.Module):
                 )(sample, emb)
 
         # mid
+        if not tiled:  # config with no cross-attn down blocks
+            sample = _dup(sample)
+            emb = _dup(emb)
+            down_block_res_samples = tuple(_dup(r) for r in down_block_res_samples)
+            tiled = True
         mid_block = self._maybe_remat(UNetMidBlock3DCrossAttn)(
             in_channels=cfg.block_out_channels[-1], temb_channels=temb_ch,
             resnet_eps=cfg.norm_eps, resnet_act_fn=cfg.act_fn,

@@ -22,6 +22,7 @@ Data layout: video tensors are channels-last (B, T, H, W, C) in [-1, 1].
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
@@ -107,6 +108,7 @@ class VideoUpscalePipeline:
         decode_chunk: int = 3,
         window_group: int = 0,  # 0 = all windows in one batched UNet call
         pab: Optional[PABConfig] = None,
+        cfg_prefix_share: Optional[bool] = None,
     ):
         self.m = modules
         self.dtype = dtype
@@ -116,6 +118,12 @@ class VideoUpscalePipeline:
         self.decode_chunk = decode_chunk
         self.window_group = window_group
         self.pab = pab
+        # CFG shared-prefix (UNetVideoModel cfg_dup): run the text-independent
+        # level-0 prefix once per window instead of twice. Exact (equivalence
+        # tested); kill switch UAV_NO_CFG_PREFIX for A/B.
+        if cfg_prefix_share is None:
+            cfg_prefix_share = not os.environ.get("UAV_NO_CFG_PREFIX")
+        self.cfg_prefix_share = cfg_prefix_share
         if pab is not None and window_group:
             raise ValueError("PAB requires the single batched-window path "
                              "(window_group=0)")
@@ -202,11 +210,21 @@ class VideoUpscalePipeline:
                        == {"spatial", "cross", "temporal"} else pab.kinds))
             if pab is not None else None)
 
+        # CFG shared-prefix: pass each window's latents ONCE (batch n) with
+        # ctx at 2n as [uncond-half, cond-half]; the UNet duplicates after
+        # the text-free level-0 prefix (UNetVideoModel cfg_dup) — exact, and
+        # saves the level-0 compute of one CFG branch.
+        share = bool(do_cfg and self.cfg_prefix_share)
+
         def unet_on_windows(unet_params, latent_in, image_in, tstep, prompt_embeds,
                             denoise_level, attn_cache=None, flags=None):
-            """latent_in/image_in: (Bc, T, H, W, C) → noise pred (Bc, T, H, W, 4)
-            [+ new attention cache under PAB]."""
+            """latent_in/image_in: (Bc, T, H, W, C) → noise pred
+            (2·Bc if share else Bc, T, H, W, 4) [+ new attention cache under
+            PAB]. Under ``share``, image_in may arrive CFG-duplicated — only
+            its first Bc rows are read."""
             bc = latent_in.shape[0]
+            bc_out = 2 * bc if share else bc
+            image_in = image_in[:bc]
             # gather windows: (Bc, N, win, H, W, C) → (N, Bc, win, H, W, C)
             lat_w = jnp.moveaxis(latent_in[:, win_idx], 0, 1)
             img_w = jnp.moveaxis(image_in[:, win_idx], 0, 1)
@@ -216,21 +234,41 @@ class VideoUpscalePipeline:
                 g = lw.shape[0]
                 lw = lw.reshape(g * bc, win, h, w, lw.shape[-1])
                 iw = iw.reshape(g * bc, win, h, w, iw.shape[-1])
-                emb = jnp.tile(prompt_embeds, (g, 1, 1))
-                lvl = jnp.tile(denoise_level, (g,))
+                if share:
+                    # [uncond×(g·bc), cond×(g·bc)] matching cfg_dup's
+                    # concat-of-halves duplication order
+                    u, c = jnp.split(prompt_embeds, 2, axis=0)
+                    emb = jnp.concatenate(
+                        [jnp.tile(u, (g, 1, 1)), jnp.tile(c, (g, 1, 1))])
+                    lvl = jnp.tile(denoise_level[:bc], (g,))
+                else:
+                    emb = jnp.tile(prompt_embeds, (g, 1, 1))
+                    lvl = jnp.tile(denoise_level, (g,))
                 if attn_cache is not None:
                     out, cache = unet.apply(unet_params, lw, tstep, iw, emb, lvl,
-                                            attn_cache=attn_cache, use_flags=flags)
-                    return out.reshape(g, bc, win, h, w, out.shape[-1]), cache
-                out = unet.apply(unet_params, lw, tstep, iw, emb, lvl)
-                return out.reshape(g, bc, win, h, w, out.shape[-1])
+                                            attn_cache=attn_cache, use_flags=flags,
+                                            cfg_dup=share)
+                else:
+                    out = unet.apply(unet_params, lw, tstep, iw, emb, lvl,
+                                     cfg_dup=share)
+                    cache = None
+                if share:
+                    # (2·g·bc, ...) halves → per-window rows [uncond bc, cond bc]
+                    out = out.reshape(2, g, bc, win, h, w, out.shape[-1])
+                    out = jnp.moveaxis(out, 0, 1).reshape(
+                        g, bc_out, win, h, w, out.shape[-1])
+                else:
+                    out = out.reshape(g, bc_out, win, h, w, out.shape[-1])
+                if attn_cache is not None:
+                    return out, cache
+                return out
 
             new_cache = None
             if n_win % group == 0 and n_win > group:
                 lat_g = lat_w.reshape(n_win // group, group, *lat_w.shape[1:])
                 img_g = img_w.reshape(n_win // group, group, *img_w.shape[1:])
                 preds = jax.lax.map(run_group, (lat_g, img_g))
-                preds = preds.reshape(n_win, bc, win, h, w, -1)
+                preds = preds.reshape(n_win, bc_out, win, h, w, -1)
             else:
                 if attn_cache is not None:
                     preds, new_cache = run_group((lat_w, img_w))
@@ -258,7 +296,8 @@ class VideoUpscalePipeline:
                 else:
                     lat = carry
                     tstep, do_prop = step_in
-                latent_in = jnp.concatenate([lat, lat]) if do_cfg else lat
+                latent_in = (jnp.concatenate([lat, lat])
+                             if do_cfg and not share else lat)
                 if pab is not None:
                     noise_pred, cache = unet_on_windows(
                         unet_params, latent_in.astype(self.dtype), image_noised,
