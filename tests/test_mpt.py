@@ -208,6 +208,31 @@ def test_mpt_from_dict_reads_reference_attn_config():
     assert cfg.alibi_bias_max == 16 and cfg.n_heads == 8
 
 
+def test_llava_mpt_key_mapping():
+    """Flax paths inside LlavaModel(text_mpt=...) map to the reference
+    LLaVA-MPT key schema (llava/model/language_model/llava_mpt.py: LM under
+    ``transformer.``, vision tower / projector hang off the transformer)."""
+    from upscale_a_video_tpu.models.llava.convert import LLAVA_MPT_RENAMES
+    from upscale_a_video_tpu.utils.convert import flax_path_to_torch_key
+
+    def key(path):
+        return flax_path_to_torch_key(tuple(path.split("/")),
+                                      LLAVA_MPT_RENAMES)
+
+    assert key("language_model/wte/embedding") == "transformer.wte.weight"
+    assert (key("language_model/blocks_0/attn_Wqkv/kernel")
+            == "transformer.blocks.0.attn.Wqkv.weight")
+    assert (key("language_model/blocks_1/norm_1/weight")
+            == "transformer.blocks.1.norm_1.weight")
+    assert (key("language_model/norm_f/weight")
+            == "transformer.norm_f.weight")
+    assert (key("vision_tower/layers_0/mlp_fc1/kernel")
+            == "transformer.vision_tower.vision_tower.vision_model."
+               "encoder.layers.0.mlp.fc1.weight")
+    assert (key("mm_projector_0/kernel")
+            == "transformer.mm_projector.0.weight")
+
+
 def test_llava_model_hosts_mpt_language_model():
     """LlavaModel with ``text_mpt`` runs the full splice→prefill→decode path
     (ref LlavaMPTForCausalLM duality)."""

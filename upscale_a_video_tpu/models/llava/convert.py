@@ -68,14 +68,19 @@ MPT_RENAMES: Dict[str, str] = {
     "norm_f.": "transformer.norm_f.",
 }
 
-# The same table with keys prefixed for the MPT LM living inside LlavaModel
-# (flax path ``language_model/...`` → ``transformer....``).
+# The same table for the MPT LM living inside LlavaModel. In the reference's
+# LLaVA-MPT (llava/model/language_model/llava_mpt.py) the vision tower and
+# projector hang off the *transformer* module, so the LLaMA-layout "model."
+# prefix from the vision/projector entries is rewritten to "transformer."
+# at the end (MPT's own keys never contain "model.").
 LLAVA_MPT_RENAMES: Dict[str, str] = dict(
     {"language_model.": ""},
     **{k: v for k, v in LLAVA_RENAMES.items() if "vision" in k
        or "mm_projector" in k or k.startswith("mlp_fc")
        or "class_embedding" in k or "position_embedding" in k},
     **MPT_RENAMES,
+    **{"model.vision_tower": "transformer.vision_tower",
+       "model.mm_projector": "transformer.mm_projector"},
 )
 
 

@@ -49,9 +49,10 @@ def load_llava_captioner(
     import jax.numpy as jnp
 
     from .clip_vision import CLIPVisionConfig
-    from .convert import LLAVA_RENAMES, apply_delta
+    from .convert import LLAVA_MPT_RENAMES, LLAVA_RENAMES, apply_delta
     from .llama import LlamaConfig
     from .llava import LlavaCaptioner, LlavaConfig, LlavaModel
+    from .mpt import MPTConfig
     from ...utils.convert import convert_state_dict
     from ...utils.param_init import fast_init
 
@@ -59,10 +60,20 @@ def load_llava_captioner(
     with open(root / "config.json") as f:
         hf_cfg = json.load(f)
 
-    text_cfg = LlamaConfig.from_dict(hf_cfg)
     vis = hf_cfg.get("vision_config", {})
     vision_cfg = CLIPVisionConfig.from_dict(vis) if vis else CLIPVisionConfig()
-    cfg = LlavaConfig(vision=vision_cfg, text=text_cfg)
+    # MPT-backed LLaVA (ref llava/model/language_model/llava_mpt.py):
+    # "llava_mpt" model_type / MPT-shaped config fields select the MPT decoder
+    is_mpt = ("mpt" in hf_cfg.get("model_type", "")
+              or "attn_config" in hf_cfg or "d_model" in hf_cfg)
+    if is_mpt:
+        cfg = LlavaConfig(vision=vision_cfg,
+                          text_mpt=MPTConfig.from_dict(hf_cfg))
+        renames = LLAVA_MPT_RENAMES
+    else:
+        cfg = LlavaConfig(vision=vision_cfg,
+                          text=LlamaConfig.from_dict(hf_cfg))
+        renames = LLAVA_RENAMES
 
     model = LlavaModel(cfg, dtype=dtype or jnp.bfloat16)
     img_size = vision_cfg.image_size
@@ -82,7 +93,7 @@ def load_llava_captioner(
         sd = apply_delta(base, sd)
 
     params, report = convert_state_dict(template["params"], sd,
-                                        renames=LLAVA_RENAMES, strict=False)
+                                        renames=renames, strict=False)
     if report["missing"]:
         print(f"llava: {len(report['missing'])} params kept at init "
               f"(e.g. {report['missing'][:3]})")
