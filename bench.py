@@ -86,7 +86,11 @@ def build_pipeline(fp32_decode: bool = False):
     vae_cfg = VaeConfig.from_json("/root/reference/configs/vae_3d_config.json")
 
     unet = UNetVideoModel(unet_cfg, dtype=jnp.bfloat16)
-    vae = AutoencoderKLVideo(vae_cfg, dtype=jnp.bfloat16)
+    # the VAE module's own dtype must follow the decode precision — flax
+    # modules cast inputs to their dtype, so a bf16-built VAE silently
+    # downcasts an fp32 decode back to bf16
+    vae = AutoencoderKLVideo(
+        vae_cfg, dtype=jnp.float32 if fp32_decode else jnp.bfloat16)
     clip = CLIPTextModel(CLIPTextConfig(), dtype=jnp.bfloat16)
 
     t0 = time.time()
@@ -129,13 +133,19 @@ def _result(size: int, fps: float, note: str, t: int = FRAMES) -> dict:
     }
 
 
-def stage_e2e(size: int, pab: bool = False, fp32_decode: bool = False) -> dict:
+def stage_e2e(size: int, pab: bool = False, fp32_decode: bool = False,
+              frames: int = FRAMES) -> dict:
     jax = _setup_jax()
     import jax.numpy as jnp
 
     import numpy as np
 
     pipe = build_pipeline(fp32_decode=fp32_decode)
+    if frames > 8:
+        # the metric's own clip length (~32-frame YouHQ40 clips): run the
+        # sliding windows one per call (lax.map) — group=2 at 320² needs
+        # 18.3G HBM vs the chip's 15.75G
+        pipe.window_group = 1
     if pab:
         from upscale_a_video_tpu.pipeline.pipeline import PABConfig
 
@@ -143,7 +153,7 @@ def stage_e2e(size: int, pab: bool = False, fp32_decode: bool = False) -> dict:
         # cross_range=6) at EVERY level: a fraction of the full cache's HBM
         # (full-kind caching at 256 exceeds one v5e's 16G)
         pipe.pab = PABConfig(kinds=("cross",))
-    img = jax.random.uniform(jax.random.PRNGKey(1), (1, FRAMES, size, size, 3),
+    img = jax.random.uniform(jax.random.PRNGKey(1), (1, frames, size, size, 3),
                              jnp.float32, -1, 1)
 
     def run_once():
@@ -160,13 +170,19 @@ def stage_e2e(size: int, pab: bool = False, fp32_decode: bool = False) -> dict:
     t0 = time.time()
     out = run_once()
     dt = time.time() - t0
-    assert out.shape == (1, FRAMES, size * 4, size * 4, 3)
+    assert out.shape == (1, frames, size * 4, size * 4, 3)
     note = "measured" + (", PAB" if pab else "") + \
         (", fp32 decode" if fp32_decode else ", bf16 decode")
-    return _result(size, FRAMES / dt, note)
+    return _result(size, frames / dt, note, t=frames)
 
 
-def stage_components(size: int) -> dict:
+def stage_components(size: int, fp32_decode: bool = False,
+                     frames: int = FRAMES) -> dict:
+    """Component-timed model. With ``frames`` > 8 the e2e model charges the
+    reference window plan's ``n_win`` window-batches per step plus
+    ceil(frames/3) decode chunks — used for geometries whose single-dispatch
+    denoise scan exceeds the axon tunnel's execution watchdog (T=32 at 320²
+    crashes the worker ~4 min into one dispatch; measured 2×)."""
     jax = _setup_jax()
     import jax.numpy as jnp
 
@@ -176,8 +192,9 @@ def stage_components(size: int) -> dict:
 
     unet_cfg = UNetVideoConfig.from_json("/root/reference/configs/unet_video_config.json")
     vae_cfg = VaeConfig.from_json("/root/reference/configs/vae_3d_config.json")
+    ddt = jnp.float32 if fp32_decode else jnp.bfloat16
     unet = UNetVideoModel(unet_cfg, dtype=jnp.bfloat16)
-    vae = AutoencoderKLVideo(vae_cfg, dtype=jnp.bfloat16)
+    vae = AutoencoderKLVideo(vae_cfg, dtype=ddt)
 
     unet_params = fast_init(unet, jnp.zeros((1, 2, 32, 32, 4), jnp.bfloat16), 0,
                             jnp.zeros((1, 2, 32, 32, 3), jnp.bfloat16),
@@ -209,7 +226,7 @@ def stage_components(size: int) -> dict:
     print(f"[components {size}] unet step: {t_unet * 1e3:.1f} ms", file=sys.stderr)
 
     # VAE decode: 3-frame chunk
-    z = jnp.zeros((1, 3, size, size, 4), jnp.bfloat16)
+    z = jnp.zeros((1, 3, size, size, 4), ddt)
 
     @jax.jit
     def decode(params, z):
@@ -225,8 +242,10 @@ def stage_components(size: int) -> dict:
     print(f"[components {size}] vae 3-frame decode: {t_dec * 1e3:.1f} ms",
           file=sys.stderr)
 
-    total = STEPS * t_unet + math.ceil(FRAMES / 3) * t_dec
-    return _result(size, FRAMES / total, "component-timed model")
+    n_win = len(range(0, frames, 6)) if frames > 8 else 1
+    total = STEPS * n_win * t_unet + math.ceil(frames / 3) * t_dec
+    note = "component-timed model" + (", fp32 decode" if fp32_decode else "")
+    return _result(size, frames / total, note, t=frames)
 
 
 def main():
@@ -234,13 +253,17 @@ def main():
     if args and args[0] == "--stage":
         stage = args[1]
         fp32 = "fp32" in args[3:]
+        frames = next((int(a[1:]) for a in args[3:]
+                       if a.startswith("T") and a[1:].isdigit()), FRAMES)
         if stage == "e2e":
-            print(json.dumps(stage_e2e(int(args[2]), fp32_decode=fp32)))
+            print(json.dumps(stage_e2e(int(args[2]), fp32_decode=fp32,
+                                       frames=frames)))
         elif stage == "e2e_pab":
             print(json.dumps(stage_e2e(int(args[2]), pab=True,
                                        fp32_decode=fp32)))
         elif stage == "components":
-            print(json.dumps(stage_components(int(args[2]))))
+            print(json.dumps(stage_components(int(args[2]), fp32_decode=fp32,
+                                              frames=frames)))
         return
 
     # parent: try stages with wall-clock budgets, emit the first success.

@@ -62,6 +62,98 @@ def fused_gn_check():
     np.testing.assert_allclose(got, want, atol=3e-2)
 
 
+def fused_temporal_resblock_check():
+    from upscale_a_video_tpu.ops.fused_temporal_resblock import (
+        fused_temporal_resblock,
+    )
+
+    key = jax.random.PRNGKey(4)
+    ks = jax.random.split(key, 8)
+    b, t, h, w, c = 2, 8, 32, 32, 256
+    x = jax.random.normal(ks[0], (b, t, h, w, c), jnp.bfloat16)
+    args = (
+        x,
+        jnp.ones((c,), jnp.float32), jnp.zeros((c,), jnp.float32),
+        0.02 * jax.random.normal(ks[1], (5, 1, 1, c, c), jnp.float32),
+        jnp.zeros((c,), jnp.float32),
+        0.1 * jax.random.normal(ks[2], (b, c), jnp.float32),
+        jnp.ones((c,), jnp.float32), jnp.zeros((c,), jnp.float32),
+        0.02 * jax.random.normal(ks[3], (3, 1, 1, c, c), jnp.float32),
+        jnp.zeros((c,), jnp.float32),
+    )
+    got = np.asarray(fused_temporal_resblock(*args, groups=32,
+                                             use_pallas=True), np.float32)
+    want = np.asarray(fused_temporal_resblock(*args, groups=32,
+                                              use_pallas=False), np.float32)
+    np.testing.assert_allclose(got, want, atol=5e-2)
+
+
+def fused_cross_attention_check():
+    from upscale_a_video_tpu.ops.cross_attention_block import (
+        fused_cross_attention_block,
+    )
+
+    ks = jax.random.split(jax.random.PRNGKey(5), 8)
+    bt, s, c, hd, d, skv = 16, 1024, 512, 8, 64, 77
+    args = (
+        jax.random.normal(ks[0], (bt, s, c), jnp.bfloat16),
+        jnp.ones((c,), jnp.float32), jnp.zeros((c,), jnp.float32),
+        0.05 * jax.random.normal(ks[1], (c, hd * d), jnp.float32),
+        jax.random.normal(ks[2], (1, skv, hd * d), jnp.bfloat16),
+        jax.random.normal(ks[3], (1, skv, hd * d), jnp.bfloat16),
+        0.05 * jax.random.normal(ks[4], (hd * d, c), jnp.float32),
+        jnp.zeros((c,), jnp.float32),
+    )
+    kw = dict(heads=hd, dim_head=d, t_repeat=16)
+    got = np.asarray(fused_cross_attention_block(*args, use_pallas=True, **kw),
+                     np.float32)
+    want = np.asarray(fused_cross_attention_block(*args, use_pallas=False, **kw),
+                      np.float32)
+    np.testing.assert_allclose(got, want, atol=5e-2)
+
+
+def fused_feedforward_check():
+    from upscale_a_video_tpu.ops.fused_feedforward import fused_feedforward
+
+    ks = jax.random.split(jax.random.PRNGKey(6), 6)
+    bt, s, c = 16, 1024, 512
+    args = (
+        jax.random.normal(ks[0], (bt, s, c), jnp.bfloat16),
+        jnp.ones((c,), jnp.float32), jnp.zeros((c,), jnp.float32),
+        0.02 * jax.random.normal(ks[1], (c, 8 * c), jnp.float32),
+        jnp.zeros((8 * c,), jnp.float32),
+        0.02 * jax.random.normal(ks[2], (4 * c, c), jnp.float32),
+        jnp.zeros((c,), jnp.float32),
+    )
+    got = np.asarray(fused_feedforward(*args, use_pallas=True), np.float32)
+    want = np.asarray(fused_feedforward(*args, use_pallas=False), np.float32)
+    np.testing.assert_allclose(got, want, atol=5e-2)
+
+
+def fused_temporal_attention_block_check():
+    from upscale_a_video_tpu.ops.temporal_attention_block import (
+        fused_temporal_attention_block,
+    )
+
+    ks = jax.random.split(jax.random.PRNGKey(7), 8)
+    t, s, c, heads = 8, 256, 512, 8
+    args = (
+        jax.random.normal(ks[0], (2 * t, s, c), jnp.bfloat16),
+        jnp.ones((c,), jnp.float32), jnp.zeros((c,), jnp.float32),
+        0.05 * jax.random.normal(ks[1], (c, c), jnp.float32),
+        0.05 * jax.random.normal(ks[2], (c, c), jnp.float32),
+        0.05 * jax.random.normal(ks[3], (c, c), jnp.float32),
+        0.05 * jax.random.normal(ks[4], (c, c), jnp.float32),
+        jnp.zeros((c,), jnp.float32),
+        0.1 * jax.random.normal(ks[5], (heads, t, t), jnp.float32),
+    )
+    got = np.asarray(fused_temporal_attention_block(
+        *args, video_length=t, use_pallas=True), np.float32)
+    want = np.asarray(fused_temporal_attention_block(
+        *args, video_length=t, use_pallas=False), np.float32)
+    np.testing.assert_allclose(got, want, atol=5e-2)
+
+
 def flagship_forward_check():
     import __graft_entry__ as g
 
@@ -88,6 +180,14 @@ def main():
     ok = True
     ok &= check("pallas flash attention vs XLA", flash_attention_check)
     ok &= check("pallas fused groupnorm vs flax", fused_gn_check)
+    ok &= check("pallas fused temporal resblock vs reference",
+                fused_temporal_resblock_check)
+    ok &= check("pallas fused cross-attention block vs reference",
+                fused_cross_attention_check)
+    ok &= check("pallas fused LN+GEGLU feedforward vs reference",
+                fused_feedforward_check)
+    ok &= check("pallas fused temporal-attention block vs reference",
+                fused_temporal_attention_block_check)
     ok &= check("flagship UNet forward", flagship_forward_check)
     if args.full:
         ok &= check("full e2e bench @256", full_e2e_check)

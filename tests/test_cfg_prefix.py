@@ -150,6 +150,21 @@ def _tiny_pipeline(cfg_prefix_share: bool):
                                 cfg_prefix_share=cfg_prefix_share)
 
 
+def test_pipeline_share_with_window_groups():
+    """share composes with grouped windows (lax.map branch): T=20 → 4
+    windows in groups of 2; share on == share off."""
+    img = jax.random.uniform(jax.random.PRNGKey(6), (1, 20, 8, 8, 3),
+                             jnp.float32, -1, 1)
+    outs = {}
+    for share in (False, True):
+        pipe = _tiny_pipeline(share)
+        pipe.window_group = 2
+        outs[share] = np.asarray(
+            pipe("p", img, num_inference_steps=2, guidance_scale=6.0,
+                 noise_level=20))
+    np.testing.assert_allclose(outs[True], outs[False], rtol=2e-5, atol=2e-5)
+
+
 def test_pipeline_share_on_off_identical():
     """Full pipeline with cfg_prefix_share on vs off: same outputs
     (identical init keys ⇒ identical params ⇒ the only difference is the
