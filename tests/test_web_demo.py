@@ -113,6 +113,13 @@ def test_upscale_roundtrip_and_file_serving(stack, tmp_path):
     logs = [p for p in os.listdir(demo.demo.log_dir) if p.endswith(".jsonl")]
     assert logs
 
+    # the job registry reports the finished job (polling progress)
+    assert "job_id" in result
+    with urllib.request.urlopen(demo_url + "/jobs", timeout=10) as r:
+        jobs = json.loads(r.read())["jobs"]
+    mine = [j for j in jobs if j["id"] == result["job_id"]]
+    assert mine and mine[0]["status"] == "done"
+
 
 def test_upscale_errors_without_workers(tmp_path):
     ctrl = serve_controller("127.0.0.1", 0)

@@ -17,6 +17,8 @@ Serves a single-page UI plus a JSON API:
                          reference demo)
     GET  /file?path=...  stream a produced mp4 back to the browser
                          (restricted to the server's work dir)
+    GET  /jobs           in-flight + recent jobs (the polling analog of the
+                         gradio demo's streaming progress bar)
 
 Every job is appended to a JSONL log, mirroring the reference's per-day
 conversation logs (gradio_web_server.py ``get_conv_log_filename``).
@@ -107,6 +109,8 @@ class WebDemo:
         os.makedirs(self.work_dir, exist_ok=True)
         self.log_dir = log_dir or self.work_dir
         self.lock = threading.Lock()
+        self._jobs: dict = {}          # job_id → status record
+        self._next_job = 0
 
     # ------------------------------------------------------------- helpers
 
@@ -165,12 +169,31 @@ class WebDemo:
             return {"error": f"controller unreachable: {e}"}
         if "url" not in got:
             return {"error": "no workers available"}
-        result = self._post(got["url"] + "/predict", kwargs)
+        with self.lock:
+            job_id = self._next_job
+            self._next_job += 1
+            self._jobs[job_id] = {"id": job_id, "status": "running",
+                                  "worker": got["url"],
+                                  "started": time.time()}
+        try:
+            result = self._post(got["url"] + "/predict", kwargs)
+        except Exception as e:
+            result = {"error": f"worker failed: {e}"}
+        with self.lock:
+            self._jobs[job_id].update(
+                status="done" if "output" in result else "error",
+                finished=time.time())
         self._log({"type": "upscale", "worker": got["url"],
                    "params": {k: v for k, v in kwargs.items()
                               if k != "video_path"},
                    "ok": "output" in result})
-        return result
+        return dict(result, job_id=job_id)
+
+    def jobs(self) -> dict:
+        """In-flight and recent jobs (polling progress, most recent first)."""
+        with self.lock:
+            recent = sorted(self._jobs.values(), key=lambda j: -j["id"])[:20]
+        return {"jobs": recent}
 
     def caption(self, data: dict) -> dict:
         if not self.caption_endpoint:
@@ -224,6 +247,8 @@ def make_handler(demo: WebDemo):
                 self.send_header("Content-Length", str(len(data)))
                 self.end_headers()
                 self.wfile.write(data)
+            elif parsed.path == "/jobs":
+                self._json(200, demo.jobs())
             else:
                 self._json(404, {"error": "unknown endpoint"})
 
