@@ -162,7 +162,7 @@ def test_pipeline_share_with_window_groups():
         outs[share] = np.asarray(
             pipe("p", img, num_inference_steps=2, guidance_scale=6.0,
                  noise_level=20))
-    np.testing.assert_allclose(outs[True], outs[False], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(outs[True], outs[False], rtol=1e-4, atol=1e-4)
 
 
 def test_pipeline_share_on_off_identical():
@@ -177,4 +177,4 @@ def test_pipeline_share_on_off_identical():
                                   guidance_scale=6.0, noise_level=20))
         for share in (False, True)
     }
-    np.testing.assert_allclose(outs[True], outs[False], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(outs[True], outs[False], rtol=1e-4, atol=1e-4)
