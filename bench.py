@@ -144,8 +144,12 @@ def stage_e2e(size: int, pab: bool = False, fp32_decode: bool = False,
     if frames > 8:
         # the metric's own clip length (~32-frame YouHQ40 clips): run the
         # sliding windows one per call (lax.map) — group=2 at 320² needs
-        # 18.3G HBM vs the chip's 15.75G
+        # 18.3G HBM vs the chip's 15.75G — and host-step the denoise loop
+        # so each device dispatch is one step (~n_win·1.3 s), far below the
+        # axon tunnel's execution watchdog that kills the single-dispatch
+        # 30-step scan (~4 min) at this geometry
         pipe.window_group = 1
+        pipe.step_mode = "host"
     if pab:
         from upscale_a_video_tpu.pipeline.pipeline import PABConfig
 
@@ -271,6 +275,10 @@ def main():
     # fallbacks keep round-1 continuity if the 320 compile exceeds budget.
     me = os.path.abspath(__file__)
     attempts = [
+        # headline: the metric's own geometry — T=32 YouHQ40-length clip at
+        # 320², reference fp32 decode, MEASURED end-to-end (host-stepped
+        # denoise keeps every dispatch under the tunnel watchdog)
+        (["--stage", "e2e", "320", "fp32", "T32"], 1500),
         (["--stage", "e2e", "320", "fp32"], 900),
         (["--stage", "e2e", "256"], 560),
         (["--stage", "components", "256"], 560),

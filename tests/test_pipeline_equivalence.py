@@ -93,3 +93,53 @@ def test_scan_matches_naive_loop(setup, guidance):
                            prompt_embeds, steps, guidance, nl, key)
     np.testing.assert_allclose(np.asarray(latents), np.asarray(want),
                                atol=5e-4, rtol=1e-3)
+
+
+def _clone_pipe(pipe, **kw):
+    p = VideoUpscalePipeline(pipe.m, dtype=jnp.float32, **kw)
+    return p
+
+
+@pytest.mark.parametrize("guidance", [1.0, 4.0])
+def test_host_step_mode_matches_scan(setup, guidance):
+    """step_mode='host' (one jitted step, host loop) must be numerically
+    identical to the one-dispatch lax.scan path — incl. windows (T=10 > 8)
+    and propagation under lax.cond."""
+    pipe, unet, unet_params, sched, lrs = setup
+    image = jax.random.uniform(jax.random.PRNGKey(6), (1, 10, 8, 8, 3),
+                               minval=-1, maxval=1)
+    key = jax.random.PRNGKey(11)
+    flows_f = jax.random.normal(jax.random.PRNGKey(8), (1, 9, 8, 8, 2)) * 0.5
+    flows_b = jax.random.normal(jax.random.PRNGKey(9), (1, 9, 8, 8, 2)) * 0.5
+    kw = dict(num_inference_steps=3, guidance_scale=guidance, noise_level=30,
+              key=key, flows_bi=(flows_f, flows_b), propagation_steps=(1,),
+              return_latents=True)
+    _, want = _clone_pipe(pipe)("p", image, **kw)
+    _, got = _clone_pipe(pipe, step_mode="host")("p", image, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_host_step_mode_matches_scan_pab(setup):
+    """Host stepping with a PAB cache carried across host-side steps must
+    match the scan-carried cache exactly."""
+    from upscale_a_video_tpu.pipeline.pipeline import PABConfig
+
+    pipe, *_ = setup
+    pab = PABConfig(cross_range=3, spatial_range=2, temporal_range=2,
+                    start_step=1)
+    image = jax.random.uniform(jax.random.PRNGKey(12), (1, 4, 8, 8, 3),
+                               minval=-1, maxval=1)
+    key = jax.random.PRNGKey(13)
+    kw = dict(num_inference_steps=4, guidance_scale=3.0, noise_level=25,
+              key=key, return_latents=True)
+    _, want = _clone_pipe(pipe, pab=pab)("p", image, **kw)
+    _, got = _clone_pipe(pipe, pab=pab, step_mode="host")("p", image, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_step_mode_validation(setup):
+    pipe, *_ = setup
+    with pytest.raises(ValueError, match="step_mode"):
+        VideoUpscalePipeline(pipe.m, step_mode="bogus")

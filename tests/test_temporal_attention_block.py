@@ -79,11 +79,15 @@ def test_block_fused_temporal_tree_and_output(monkeypatch):
     clip = jax.random.normal(jax.random.PRNGKey(2), (BT // T, 11, 96))
     ctx = jnp.repeat(clip, T, axis=0)
 
-    monkeypatch.delenv("UAV_FORCE_FUSED_CROSS", raising=False)
+    for f in ("UAV_FORCE_FUSED_CROSS", "UAV_FORCE_FUSED_TEMPORAL",
+              "UAV_FORCE_FUSED_FF"):
+        monkeypatch.delenv(f, raising=False)
     v_plain = blk.init(jax.random.PRNGKey(3), x, ctx, T)
     out_plain = blk.apply(v_plain, x, ctx, T)
 
-    monkeypatch.setenv("UAV_FORCE_FUSED_CROSS", "1")
+    for f in ("UAV_FORCE_FUSED_CROSS", "UAV_FORCE_FUSED_TEMPORAL",
+              "UAV_FORCE_FUSED_FF"):
+        monkeypatch.setenv(f, "1")
     v_fused = blk.init(jax.random.PRNGKey(3), x, ctx, T)
     out_fused = blk.apply(v_fused, x, ctx, T)
 
@@ -96,7 +100,8 @@ def test_block_fused_temporal_tree_and_output(monkeypatch):
 
 
 def test_block_fused_temporal_gradients(monkeypatch):
-    monkeypatch.setenv("UAV_FORCE_FUSED_CROSS", "1")
+    monkeypatch.setenv("UAV_FORCE_FUSED_TEMPORAL", "1")
+    monkeypatch.setenv("UAV_FORCE_FUSED_FF", "1")
     blk = BasicTransformerBlock(dim=C, heads=HEADS, dim_head=D,
                                 cross_attention_dim=None,
                                 only_cross_attention=False,

@@ -133,3 +133,26 @@ def test_dim_mismatch_raises():
     pipe = _pipeline(FakeAdapter())
     with pytest.raises(ValueError, match="dim"):
         load_textual_inversion(pipe, {"<c>": np.ones(DIM + 1, np.float32)})
+
+
+def test_multi_vector_expansion_with_underscore_placeholder():
+    """Placeholders containing '_' (e.g. '<my_style>') must still expand —
+    the group map is tracked explicitly, not reverse-engineered from names."""
+    pipe = _pipeline(FakeAdapter())
+    multi = np.stack([np.ones(DIM), 2 * np.ones(DIM)]).astype(np.float32)
+    names = load_textual_inversion(pipe, {"<my_style>": multi})
+    assert names == ["<my_style>", "<my_style>_1"]
+    tok = pipe.m.tokenizer
+    assert tok.expand_prompt("a <my_style> b") == "a <my_style> <my_style>_1 b"
+
+
+def test_shared_prefix_tokens_do_not_collide():
+    """Two registered tokens sharing a 'tok_' prefix with a non-numeric
+    suffix must not break expansion (old rsplit parsing raised ValueError)."""
+    pipe = _pipeline(FakeAdapter())
+    load_textual_inversion(pipe, {"<c>": np.ones(DIM, np.float32)})
+    load_textual_inversion(pipe, {"<c>_extra": np.ones(DIM, np.float32)})
+    tok = pipe.m.tokenizer
+    # longest-first replacement: '<c>_extra' is its own single-vector group
+    assert tok.expand_prompt("x <c>_extra y") == "x <c>_extra y"
+    assert tok.expand_prompt("x <c> y") == "x <c> y"

@@ -138,3 +138,26 @@ def test_upscale_errors_without_workers(tmp_path):
         ctrl.shutdown()
         demo.shutdown()
 
+
+
+def test_upscale_rejects_paths_outside_work_dir(stack, tmp_path):
+    """Server-side video_path is restricted to the demo work dir — any
+    worker-readable file must NOT be usable as pipeline input."""
+    demo_url, _, _ = stack
+    outside = tmp_path / "private.mp4"
+    outside.write_bytes(b"SECRET")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(demo_url + "/upscale", {"video_path": str(outside)})
+    assert ei.value.code == 500
+    assert "work dir" in json.loads(ei.value.read())["error"]
+
+
+def test_malformed_json_returns_400(stack):
+    demo_url, _, _ = stack
+    req = urllib.request.Request(
+        demo_url + "/upscale", data=b"{not json",
+        headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=10)
+    assert ei.value.code == 400
+    assert "bad request body" in json.loads(ei.value.read())["error"]

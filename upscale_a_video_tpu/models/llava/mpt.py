@@ -76,6 +76,14 @@ class MPTConfig:
         }
         known = {f.name for f in dataclasses.fields(cls)}
         flat.update({k: v for k, v in d.items() if k in known})
+        # Reference checkpoints may carry logit_scale='inv_sqrt_d_model'
+        # (modeling_mpt.py resolves the string to 1/sqrt(d_model)).
+        if flat.get("logit_scale") == "inv_sqrt_d_model":
+            d_model = flat.get("d_model", cls.d_model)
+            flat["logit_scale"] = 1.0 / math.sqrt(d_model)
+        elif isinstance(flat.get("logit_scale"), str):
+            raise ValueError(
+                f"unknown logit_scale string: {flat['logit_scale']!r}")
         return cls(**flat)
 
 

@@ -477,7 +477,7 @@ class BasicTransformerBlock(nn.Module):
         b = bt // video_length
         fuse_temporal = (
             (jax.devices()[0].platform == "tpu"
-             or os.environ.get("UAV_FORCE_FUSED_CROSS"))
+             or os.environ.get("UAV_FORCE_FUSED_TEMPORAL"))
             and not os.environ.get("UAV_NO_FUSED_TEMPORAL")
             and temporal_attention_block_fits(hidden_states.shape,
                                               video_length, self.heads)
@@ -520,7 +520,7 @@ class BasicTransformerBlock(nn.Module):
 
         fuse_ff = (
             (jax.devices()[0].platform == "tpu"
-             or os.environ.get("UAV_FORCE_FUSED_CROSS"))
+             or os.environ.get("UAV_FORCE_FUSED_FF"))
             and not os.environ.get("UAV_NO_FUSED_FF")
             and feedforward_fits(hidden_states.shape)
         )

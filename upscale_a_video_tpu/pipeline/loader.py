@@ -65,21 +65,21 @@ class HFTokenizerAdapter:
 
 
 class FallbackTokenizer:
-    """Deterministic stand-in when no tokenizer assets are available.
+    """Deterministic stand-in for shape/perf tests WITHOUT tokenizer assets.
 
     The ids it fabricates are byte hashes, NOT CLIP BPE tokens — conditioning
-    built from them is garbage. It exists so shape/perf tests can run without
-    tokenizer assets; every construction and every call warns loudly so a real
-    run can never silently produce wrong conditioning.
+    built from them is garbage. ``load_pipeline`` only constructs it when
+    explicitly asked (``allow_fallback_tokenizer=True``); real runs that lack
+    assets fail loudly instead of silently degrading.
     """
 
     def __init__(self):
         import warnings
 
         warnings.warn(
-            "FallbackTokenizer in use: transformers/tokenizer assets are "
-            "missing, prompt conditioning will be MEANINGLESS. Install "
-            "transformers or pass a tokenizer dir for real runs.",
+            "FallbackTokenizer in use: tokenizer assets are missing, prompt "
+            "conditioning will be MEANINGLESS. Provide a tokenizer dir "
+            "(vocab.json+merges.txt) for real runs.",
             RuntimeWarning, stacklevel=2,
         )
 
@@ -99,6 +99,34 @@ class FallbackTokenizer:
         return ids
 
 
+def _resolve_tokenizer(tokenizer_dir: Optional[str], allow_fallback: bool):
+    """Tokenizer resolution order: in-repo CLIP BPE from the bundle's
+    ``tokenizer/`` assets → HF CLIPTokenizer (hub name, needs network/cache)
+    → FallbackTokenizer only when explicitly allowed."""
+    from ..utils.clip_bpe import load_clip_tokenizer
+
+    if tokenizer_dir and os.path.isdir(tokenizer_dir):
+        try:
+            return load_clip_tokenizer(tokenizer_dir)
+        except FileNotFoundError:
+            pass  # dir exists but holds some other HF layout — try HF below
+        try:
+            return HFTokenizerAdapter(tokenizer_dir)
+        except Exception:
+            pass
+    else:
+        try:
+            return HFTokenizerAdapter(None)  # hub fetch (cache/network)
+        except Exception:
+            pass
+    if allow_fallback:
+        return FallbackTokenizer()
+    raise FileNotFoundError(
+        "no CLIP tokenizer assets found: provide <model_dir>/tokenizer/ with "
+        "vocab.json+merges.txt (released bundle layout) or pass "
+        "allow_fallback_tokenizer=True for shape-only runs")
+
+
 def load_pipeline(
     model_dir: Optional[str] = None,
     use_video_vae: bool = False,
@@ -106,7 +134,11 @@ def load_pipeline(
     decode_dtype=jnp.float32,
     random_init: bool = False,
     seed: int = 0,
+    allow_fallback_tokenizer: Optional[bool] = None,
 ) -> VideoUpscalePipeline:
+    if allow_fallback_tokenizer is None:
+        # random-init runs are shape/perf tests — meaningless ids are fine
+        allow_fallback_tokenizer = random_init
     root = Path(model_dir) if model_dir else None
     key = jax.random.PRNGKey(seed)
     k1, k2, k3 = jax.random.split(key, 3)
@@ -195,10 +227,8 @@ def load_pipeline(
          "num_train_timesteps": 1000},
     )
 
-    try:
-        tokenizer = HFTokenizerAdapter(str(root / "tokenizer") if root else None)
-    except Exception:
-        tokenizer = FallbackTokenizer()
+    tokenizer = _resolve_tokenizer(
+        str(root / "tokenizer") if root else None, allow_fallback_tokenizer)
 
     modules = PipelineModules(
         unet=unet, unet_params=unet_params,

@@ -109,6 +109,7 @@ class VideoUpscalePipeline:
         window_group: int = 0,  # 0 = all windows in one batched UNet call
         pab: Optional[PABConfig] = None,
         cfg_prefix_share: Optional[bool] = None,
+        step_mode: str = "scan",
     ):
         self.m = modules
         self.dtype = dtype
@@ -118,6 +119,15 @@ class VideoUpscalePipeline:
         self.decode_chunk = decode_chunk
         self.window_group = window_group
         self.pab = pab
+        # "scan": the whole denoise loop is ONE jitted lax.scan dispatch.
+        # "host": jit ONE denoise step, Python-loop over the steps — the same
+        # compiled program runs num_steps times with short device dispatches.
+        # Numerically identical (tested); use "host" when a single dispatch
+        # would exceed an execution watchdog (e.g. T=32 at 320² through the
+        # axon tunnel) or to interleave host work between steps.
+        if step_mode not in ("scan", "host"):
+            raise ValueError(f"step_mode must be 'scan' or 'host', got {step_mode!r}")
+        self.step_mode = step_mode
         # CFG shared-prefix (UNetVideoModel cfg_dup): run the text-independent
         # level-0 prefix once per window instead of twice. Exact (equivalence
         # tested); kill switch UAV_NO_CFG_PREFIX for A/B.
@@ -285,8 +295,8 @@ class VideoUpscalePipeline:
             flag_arrays = pab.use_cached_flags(num_inference_steps)
             pab_flags = {k: jnp.asarray(v) for k, v in flag_arrays.items()}
 
-        def denoise(unet_params, latents, image_noised, prompt_embeds,
-                    denoise_level, flows_f, flows_b):
+        def make_body(unet_params, image_noised, prompt_embeds,
+                      denoise_level, flows_f, flows_b):
             def body(carry, step_in):
                 if pab is not None:
                     lat, cache = carry
@@ -325,24 +335,73 @@ class VideoUpscalePipeline:
                     return (lat, cache), ()
                 return lat, ()
 
+            return body
+
+        def init_cache(unet_params, batch, prompt_embeds, denoise_level):
+            """Zero-init PAB cache with the collected structure's shapes."""
+            cache_shapes = jax.eval_shape(
+                lambda p, l, i, e, lv: unet.apply(
+                    p, l, jnp.int32(0), i, e, lv,
+                    attn_cache=collect_struct,
+                    use_flags={"cross": False, "spatial": False,
+                               "temporal": False})[1],
+                unet_params,
+                jnp.zeros((n_win * batch * (2 if do_cfg else 1),
+                           win, h, w, 4), self.dtype),
+                jnp.zeros((n_win * batch * (2 if do_cfg else 1),
+                           win, h, w, 3), self.dtype),
+                jnp.tile(prompt_embeds, (n_win, 1, 1)),
+                jnp.tile(denoise_level, (n_win,)),
+            )
+            return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                cache_shapes)
+
+        if self.step_mode == "host":
+            # One jitted denoise STEP; the loop over steps runs on the host.
+            # Each device dispatch covers one step's windows — bounded at
+            # ~n_win·t_window regardless of num_inference_steps, which keeps
+            # long clips under per-dispatch execution watchdogs.
+            def one_step(unet_params, carry, image_noised, prompt_embeds,
+                         denoise_level, flows_f, flows_b, step_in):
+                body = make_body(unet_params, image_noised, prompt_embeds,
+                                 denoise_level, flows_f, flows_b)
+                new_carry, _ = body(carry, step_in)
+                return new_carry
+
+            step_jit = jax.jit(one_step, donate_argnums=(1,))
+            ts_np = np.asarray(timesteps)
+            pf_np = np.asarray(prop_flags)
             if pab is not None:
-                # zero-init cache with the collected structure's shapes
-                cache_shapes = jax.eval_shape(
-                    lambda p, l, i, e, lv: unet.apply(
-                        p, l, jnp.int32(0), i, e, lv,
-                        attn_cache=collect_struct,
-                        use_flags={"cross": False, "spatial": False,
-                                   "temporal": False})[1],
-                    unet_params,
-                    jnp.zeros((n_win * latents.shape[0] * (2 if do_cfg else 1),
-                               win, h, w, 4), self.dtype),
-                    jnp.zeros((n_win * latents.shape[0] * (2 if do_cfg else 1),
-                               win, h, w, 3), self.dtype),
-                    jnp.tile(prompt_embeds, (n_win, 1, 1)),
-                    jnp.tile(denoise_level, (n_win,)),
-                )
-                cache0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
-                                      cache_shapes)
+                fa_np = {k: np.asarray(v)
+                         for k, v in pab.use_cached_flags(num_inference_steps).items()}
+
+            def run_host(unet_params, latents, image_noised, prompt_embeds,
+                         denoise_level, flows_f, flows_b):
+                if pab is not None:
+                    carry = (latents, init_cache(unet_params, latents.shape[0],
+                                                 prompt_embeds, denoise_level))
+                else:
+                    carry = latents
+                for i in range(num_inference_steps):
+                    step_in = (ts_np.dtype.type(ts_np[i]), np.bool_(pf_np[i]))
+                    if pab is not None:
+                        step_in += (np.bool_(fa_np["cross"][i]),
+                                    np.bool_(fa_np["spatial"][i]),
+                                    np.bool_(fa_np["temporal"][i]))
+                    carry = step_jit(unet_params, carry, image_noised,
+                                     prompt_embeds, denoise_level,
+                                     flows_f, flows_b, step_in)
+                return carry[0] if pab is not None else carry
+
+            return run_host
+
+        def denoise(unet_params, latents, image_noised, prompt_embeds,
+                    denoise_level, flows_f, flows_b):
+            body = make_body(unet_params, image_noised, prompt_embeds,
+                             denoise_level, flows_f, flows_b)
+            if pab is not None:
+                cache0 = init_cache(unet_params, latents.shape[0],
+                                    prompt_embeds, denoise_level)
                 xs = (timesteps, prop_flags, pab_flags["cross"],
                       pab_flags["spatial"], pab_flags["temporal"])
                 (latents, _), _ = jax.lax.scan(body, (latents, cache0), xs)
@@ -428,6 +487,7 @@ class VideoUpscalePipeline:
         propagation_steps: Sequence[int] = (),
         key: Optional[jax.Array] = None,
         latents: Optional[jax.Array] = None,
+        lr_noise: Optional[jax.Array] = None,
         w_lr: float = 1.0,
         return_latents: bool = False,
     ):
@@ -449,9 +509,15 @@ class VideoUpscalePipeline:
         image_dec = image.astype(jnp.float32)  # fp32 copy for the decoder (ref :542)
         image = image.astype(self.dtype)
 
-        # noise the LR input at `noise_level` (ref :545-551)
+        # noise the LR input at `noise_level` (ref :545-551); ``lr_noise``
+        # injects the draw explicitly — the determinism seam the torch-parity
+        # harness uses to run both frameworks on identical noise (RNG streams
+        # cannot match across torch/threefry)
         key, nkey, lkey = jax.random.split(key, 3)
-        noise = jax.random.normal(nkey, image.shape, jnp.float32)
+        if lr_noise is None:
+            noise = jax.random.normal(nkey, image.shape, jnp.float32)
+        else:
+            noise = lr_noise.astype(jnp.float32)
         noised = self.m.low_res_scheduler.add_noise(
             image.astype(jnp.float32), noise, jnp.full((b,), noise_level)
         ).astype(self.dtype)
@@ -479,6 +545,7 @@ class VideoUpscalePipeline:
         cache_key = (
             (b, t, h, w), num_inference_steps, do_cfg, float(guidance_scale),
             prop_mask if has_flows else (False,) * num_inference_steps, has_flows,
+            self.step_mode, self.window_group,
         )
         if cache_key not in self._denoise_cache:
             self._denoise_cache[cache_key] = self._build_denoise(

@@ -139,6 +139,11 @@ class WebDemo:
 
     def upscale(self, data: dict) -> dict:
         video_path = data.get("video_path")
+        if video_path and not self.file_ok(video_path):
+            # server-side paths are restricted to the demo work dir —
+            # an arbitrary path would let any reachable client feed any
+            # worker-readable file into the pipeline
+            return {"error": "video_path must be inside the demo work dir"}
         if not video_path and data.get("video_b64"):
             fname = os.path.basename(data.get("filename") or "upload.mp4")
             video_path = os.path.join(self.work_dir, f"{int(time.time())}_{fname}")
@@ -253,8 +258,14 @@ def make_handler(demo: WebDemo):
                 self._json(404, {"error": "unknown endpoint"})
 
         def do_POST(self):
-            n = int(self.headers.get("Content-Length", 0))
-            data = json.loads(self.rfile.read(n) or b"{}")
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                data = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(data, dict):
+                    raise ValueError("body must be a JSON object")
+            except (ValueError, json.JSONDecodeError) as e:
+                self._json(400, {"error": f"bad request body: {e}"})
+                return
             if self.path == "/list_models":
                 self._json(200, demo.list_models())
             elif self.path == "/upscale":
@@ -269,7 +280,7 @@ def make_handler(demo: WebDemo):
     return Handler
 
 
-def serve_web_demo(host: str = "0.0.0.0", port: int = 7860,
+def serve_web_demo(host: str = "127.0.0.1", port: int = 7860,
                    controller_url: str = "http://localhost:21001",
                    caption_endpoint: Optional[str] = None,
                    work_dir: Optional[str] = None) -> ThreadingHTTPServer:
@@ -283,7 +294,9 @@ if __name__ == "__main__":
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--host", default="0.0.0.0")
+    # loopback by default: the demo is unauthenticated; pass --host 0.0.0.0
+    # explicitly to expose it
+    ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=7860)  # gradio's default port
     ap.add_argument("--controller", default="http://localhost:21001")
     ap.add_argument("--caption-endpoint", default=None)

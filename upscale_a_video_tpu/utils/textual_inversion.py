@@ -47,13 +47,14 @@ def parse_textual_inversion(state: Dict[str, Any], token: str = None):
     return entries
 
 
-def _expand_multi(entries) -> List[Tuple[str, np.ndarray]]:
-    """(tok, (n, d)) → n single-vector tokens tok, tok_1, ... (diffusers
-    TextualInversionLoaderMixin.maybe_convert_prompt convention)."""
+def _expand_multi(entries) -> List[Tuple[str, str, np.ndarray]]:
+    """(tok, (n, d)) → n single-vector (part_token, base_token, vec) rows:
+    tok, tok_1, ... (diffusers TextualInversionLoaderMixin
+    .maybe_convert_prompt convention)."""
     flat = []
     for tok, emb in entries:
         for i in range(emb.shape[0]):
-            flat.append((tok if i == 0 else f"{tok}_{i}", emb[i]))
+            flat.append((tok if i == 0 else f"{tok}_{i}", tok, emb[i]))
     return flat
 
 
@@ -66,29 +67,33 @@ class TextualInversionTokenizer:
         self.base = base
         self.vocab_size = vocab_size
         self.tokens: Dict[str, int] = {}
+        # base placeholder -> ordered part tokens (incl. the base itself);
+        # kept explicitly so placeholders containing '_' expand correctly
+        # instead of being reverse-engineered from token names
+        self.groups: Dict[str, List[str]] = {}
         self._hf = getattr(base, "tok", None)  # HFTokenizerAdapter
 
-    def add_token(self, token: str) -> int:
-        if token in self.tokens:
-            return self.tokens[token]
-        new_id = self.vocab_size + len(self.tokens)
-        self.tokens[token] = new_id
-        if self._hf is not None:
-            self._hf.add_tokens([token])
-            # HF assigns len(tokenizer)-1; keep our table in sync with it
-            self.tokens[token] = self._hf.convert_tokens_to_ids(token)
+    def add_token(self, token: str, group: str = None) -> int:
+        """Register ``token``; ``group`` names the base placeholder this
+        token is a multi-vector part of (defaults to itself)."""
+        if token not in self.tokens:
+            new_id = self.vocab_size + len(self.tokens)
+            self.tokens[token] = new_id
+            if self._hf is not None:
+                self._hf.add_tokens([token])
+                # HF assigns len(tokenizer)-1; keep our table in sync with it
+                self.tokens[token] = self._hf.convert_tokens_to_ids(token)
+        base = group if group is not None else token
+        parts = self.groups.setdefault(base, [])
+        if token not in parts:
+            parts.append(token)
         return self.tokens[token]
 
     def expand_prompt(self, prompt: str) -> str:
         """Multi-vector expansion: '<c>' -> '<c> <c>_1 ...' when present."""
-        for tok in sorted(self.tokens, key=len, reverse=True):
-            base = tok.rsplit("_", 1)[0]
-            if tok == base and tok in prompt:
-                parts = [t for t in self.tokens
-                         if t == tok or t.startswith(tok + "_")]
-                parts.sort(key=lambda t: 0 if t == tok else
-                           int(t.rsplit("_", 1)[1]))
-                prompt = prompt.replace(tok, " ".join(parts))
+        for base in sorted(self.groups, key=len, reverse=True):
+            if base in prompt:
+                prompt = prompt.replace(base, " ".join(self.groups[base]))
         return prompt
 
     def __call__(self, prompts):
@@ -111,9 +116,9 @@ def load_textual_inversion(pipeline, state: Dict[str, Any], token: str = None):
     params = pipeline.m.text_params
     emb_path = params["params"]["token_embedding"]["embedding"]
     vocab, dim = emb_path.shape
-    if entries[0][1].shape[-1] != dim:
+    if entries[0][2].shape[-1] != dim:
         raise ValueError(
-            f"embedding dim {entries[0][1].shape[-1]} != text encoder {dim}")
+            f"embedding dim {entries[0][2].shape[-1]} != text encoder {dim}")
 
     if not isinstance(pipeline.m.tokenizer, TextualInversionTokenizer):
         pipeline.m.tokenizer = TextualInversionTokenizer(
@@ -122,8 +127,8 @@ def load_textual_inversion(pipeline, state: Dict[str, Any], token: str = None):
 
     rows = []
     names = []
-    for name, vec in entries:
-        tid = tok.add_token(name)
+    for name, base, vec in entries:
+        tid = tok.add_token(name, group=base)
         rows.append((tid, vec))
         names.append(name)
 
