@@ -124,3 +124,14 @@ class TestCheckInputs:
 
         with pytest.raises(ValueError):
             tiny_pipeline("x", jnp.zeros((1, 2, 3, 16, 16)))  # NCHW-ish
+
+
+def test_progress_callback(tiny_pipeline):
+    """progress_cb ticks for denoise and every decode chunk (scan mode)."""
+    img = jnp.zeros((1, 4, 16, 16, 3))
+    events = []
+    tiny_pipeline("a cat", img, num_inference_steps=2, guidance_scale=1.0,
+                  progress_cb=lambda s, i, n: events.append((s, i, n)))
+    assert ("denoise", 2, 2) in events
+    assert [e for e in events if e[0] == "decode"] == [
+        ("decode", 1, 2), ("decode", 2, 2)]  # 4 frames / 3-frame chunks

@@ -10,7 +10,7 @@ import pytest
 
 from upscale_a_video_tpu.serving import controller as ctrl_mod
 from upscale_a_video_tpu.serving.controller import Controller, serve_controller
-from upscale_a_video_tpu.serving.worker import Worker
+from upscale_a_video_tpu.serving.worker import Worker, serve_worker
 
 
 class TestControllerLogic:
@@ -82,3 +82,73 @@ class TestHTTPRoundtrip:
             assert result.get("output") == "done:clip.mp4"
         finally:
             worker.stop()
+
+
+class ProgressFakePredictor:
+    """Declares progress_cb so the worker wires the streaming callback."""
+
+    def predict(self, video_path=None, progress_cb=None, **kwargs):
+        if progress_cb is not None:
+            for i in range(1, 4):
+                progress_cb("denoise", i, 3)
+            progress_cb("decode", 1, 1)
+        return f"done:{video_path}"
+
+
+class TestStreamingPredict:
+    def test_streaming_http_roundtrip(self):
+        ctrl = serve_controller("127.0.0.1", 0)
+        ctrl_url = f"http://127.0.0.1:{ctrl.server_address[1]}"
+        threading.Thread(target=ctrl.serve_forever, daemon=True).start()
+        wsrv = serve_worker("w-s", "127.0.0.1", 0, ctrl_url,
+                            ProgressFakePredictor())
+        wurl = f"http://127.0.0.1:{wsrv.server_address[1]}"
+        threading.Thread(target=wsrv.serve_forever, daemon=True).start()
+        try:
+            req = urllib.request.Request(
+                wurl + "/predict",
+                data=json.dumps({"video_path": "c.mp4",
+                                 "stream": True}).encode(),
+                headers={"Content-Type": "application/json"})
+            events = []
+            with urllib.request.urlopen(req, timeout=10) as resp:
+                assert resp.headers["Content-Type"] == "application/x-ndjson"
+                for line in resp:
+                    line = line.strip()
+                    if line:
+                        events.append(json.loads(line))
+            progress = [e["progress"] for e in events if "progress" in e]
+            assert progress == [
+                {"stage": "denoise", "i": 1, "n": 3},
+                {"stage": "denoise", "i": 2, "n": 3},
+                {"stage": "denoise", "i": 3, "n": 3},
+                {"stage": "decode", "i": 1, "n": 1},
+            ]
+            assert events[-1] == {"output": "done:c.mp4"}
+        finally:
+            wsrv.worker.stop()
+            wsrv.shutdown()
+            ctrl.shutdown()
+
+    def test_non_progress_predictor_still_streams_result(self):
+        """A predictor without progress_cb support yields only the final
+        result on the stream."""
+        ctrl = serve_controller("127.0.0.1", 0)
+        ctrl_url = f"http://127.0.0.1:{ctrl.server_address[1]}"
+        threading.Thread(target=ctrl.serve_forever, daemon=True).start()
+        wsrv = serve_worker("w-n", "127.0.0.1", 0, ctrl_url, FakePredictor())
+        wurl = f"http://127.0.0.1:{wsrv.server_address[1]}"
+        threading.Thread(target=wsrv.serve_forever, daemon=True).start()
+        try:
+            req = urllib.request.Request(
+                wurl + "/predict",
+                data=json.dumps({"video_path": "x.mp4",
+                                 "stream": True}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=10) as resp:
+                events = [json.loads(l) for l in resp if l.strip()]
+            assert events == [{"output": "done:x.mp4"}]
+        finally:
+            wsrv.worker.stop()
+            wsrv.shutdown()
+            ctrl.shutdown()

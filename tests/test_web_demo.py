@@ -161,3 +161,60 @@ def test_malformed_json_returns_400(stack):
         urllib.request.urlopen(req, timeout=10)
     assert ei.value.code == 400
     assert "bad request body" in json.loads(ei.value.read())["error"]
+
+
+def test_streaming_upscale_via_real_worker(tmp_path):
+    """demo /upscale {"stream": true} forwards the worker's chunked NDJSON
+    progress lines and finishes with the result (replaces polling)."""
+    from upscale_a_video_tpu.serving.worker import serve_worker
+
+    class StreamingPredictor:
+        def predict(self, video_path=None, output_path=None, progress_cb=None,
+                    **kwargs):
+            os.makedirs(output_path, exist_ok=True)
+            out = os.path.join(output_path, "result.mp4")
+            with open(out, "wb") as f:
+                f.write(b"FAKEMP4")
+            if progress_cb is not None:
+                progress_cb("denoise", 1, 2)
+                progress_cb("denoise", 2, 2)
+                progress_cb("decode", 1, 1)
+            return out
+
+    ctrl = serve_controller("127.0.0.1", 0)
+    ctrl_url = f"http://127.0.0.1:{ctrl.server_address[1]}"
+    threading.Thread(target=ctrl.serve_forever, daemon=True).start()
+    wsrv = serve_worker("w-s", "127.0.0.1", 0, ctrl_url, StreamingPredictor())
+    demo = serve_web_demo("127.0.0.1", 0, ctrl_url,
+                          work_dir=str(tmp_path / "work"))
+    demo_url = f"http://127.0.0.1:{demo.server_address[1]}"
+    for s in (wsrv, demo):
+        threading.Thread(target=s.serve_forever, daemon=True).start()
+    try:
+        payload = {"stream": True,
+                   "video_b64": base64.b64encode(b"VID").decode(),
+                   "filename": "c.mp4", "inference_steps": 2}
+        req = urllib.request.Request(
+            demo_url + "/upscale", data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=15) as resp:
+            assert resp.headers["Content-Type"] == "application/x-ndjson"
+            events = [json.loads(l) for l in resp if l.strip()]
+        progress = [e["progress"] for e in events if "progress" in e]
+        assert progress == [
+            {"stage": "denoise", "i": 1, "n": 2},
+            {"stage": "denoise", "i": 2, "n": 2},
+            {"stage": "decode", "i": 1, "n": 1},
+        ]
+        final = events[-1]
+        assert "output" in final and "job_id" in final
+        # the registry recorded live progress and the final state
+        with urllib.request.urlopen(demo_url + "/jobs", timeout=10) as r:
+            jobs = json.loads(r.read())["jobs"]
+        mine = [j for j in jobs if j["id"] == final["job_id"]][0]
+        assert mine["status"] == "done"
+        assert mine.get("progress") == {"stage": "decode", "i": 1, "n": 1}
+    finally:
+        wsrv.worker.stop()
+        for s in (ctrl, wsrv, demo):
+            s.shutdown()

@@ -70,7 +70,8 @@ class ShardedVideoUpscalePipeline(VideoUpscalePipeline):
 
         return without_flows
 
-    def decode_latents(self, latents, image_dec, w_lr: float = 1.0):
+    def decode_latents(self, latents, image_dec, w_lr: float = 1.0,
+                       progress_cb=None):
         t = latents.shape[1]
         key = (t, float(w_lr))
         if key not in self._decode_cache:
@@ -78,4 +79,7 @@ class ShardedVideoUpscalePipeline(VideoUpscalePipeline):
                 self.m.vae, self.mesh, num_frames=t, chunk=self.decode_chunk,
                 axis=self.axis, decode_dtype=self.decode_dtype, w_lr=w_lr)
         vae_params = self._stage_params(self.m.vae_params)
-        return self._decode_cache[key](vae_params, latents, image_dec)
+        out = self._decode_cache[key](vae_params, latents, image_dec)
+        if progress_cb is not None:
+            progress_cb("decode", 1, 1)  # one sharded dispatch decodes all
+        return out

@@ -376,7 +376,7 @@ class VideoUpscalePipeline:
                          for k, v in pab.use_cached_flags(num_inference_steps).items()}
 
             def run_host(unet_params, latents, image_noised, prompt_embeds,
-                         denoise_level, flows_f, flows_b):
+                         denoise_level, flows_f, flows_b, progress_cb=None):
                 if pab is not None:
                     carry = (latents, init_cache(unet_params, latents.shape[0],
                                                  prompt_embeds, denoise_level))
@@ -391,6 +391,13 @@ class VideoUpscalePipeline:
                     carry = step_jit(unet_params, carry, image_noised,
                                      prompt_embeds, denoise_level,
                                      flows_f, flows_b, step_in)
+                    if progress_cb is not None:
+                        # make the tick truthful: force completion of this
+                        # step (dispatches are async; a scalar readback is
+                        # the reliable sync through the axon tunnel)
+                        lat_i = carry[0] if pab is not None else carry
+                        np.asarray(jax.device_get(lat_i[(0,) * lat_i.ndim]))
+                        progress_cb("denoise", i + 1, num_inference_steps)
                 return carry[0] if pab is not None else carry
 
             return run_host
@@ -433,17 +440,21 @@ class VideoUpscalePipeline:
         return jax.jit(decode)
 
     def decode_latents(self, latents: jax.Array, image_dec: jax.Array,
-                       w_lr: float = 1.0) -> jax.Array:
+                       w_lr: float = 1.0, progress_cb=None) -> jax.Array:
         """Chunked conditional decode (ref :683-702)."""
         t = latents.shape[1]
         vae_params = self._stage_params(self.m.vae_params)
         outs = []
-        for (s, e) in chunk_starts(t, self.decode_chunk):
+        chunks = chunk_starts(t, self.decode_chunk)
+        for k, (s, e) in enumerate(chunks):
             key = (e - s, float(w_lr))
             if key not in self._decode_cache:
                 self._decode_cache[key] = self._build_decode(e - s, w_lr)
             outs.append(self._decode_cache[key](
                 vae_params, latents[:, s:e], image_dec[:, s:e]))
+            if progress_cb is not None:
+                np.asarray(jax.device_get(outs[-1][0, 0, 0, 0]))
+                progress_cb("decode", k + 1, len(chunks))
         out = jnp.concatenate(outs, axis=1)
         if self._offload:
             out.block_until_ready()
@@ -490,6 +501,7 @@ class VideoUpscalePipeline:
         lr_noise: Optional[jax.Array] = None,
         w_lr: float = 1.0,
         return_latents: bool = False,
+        progress_cb=None,
     ):
         """Mirror of the reference __call__ (ref :436-717). Returns images
         (B, T, 4H, 4W, 3) in [-1, 1]."""
@@ -553,15 +565,25 @@ class VideoUpscalePipeline:
                 prop_mask if has_flows else (False,) * num_inference_steps, has_flows,
             )
         unet_params = self._stage_params(self.m.unet_params)
-        latents = self._denoise_cache[cache_key](
-            unet_params, latents, image_noised, prompt_embeds,
-            denoise_level, flows_f, flows_b
-        )
+        if self.step_mode == "host":
+            # per-step progress ticks (live: each dispatch is one step)
+            latents = self._denoise_cache[cache_key](
+                unet_params, latents, image_noised, prompt_embeds,
+                denoise_level, flows_f, flows_b, progress_cb=progress_cb,
+            )
+        else:
+            latents = self._denoise_cache[cache_key](
+                unet_params, latents, image_noised, prompt_embeds,
+                denoise_level, flows_f, flows_b
+            )
+            if progress_cb is not None:
+                progress_cb("denoise", num_inference_steps, num_inference_steps)
         if self._offload:
             latents.block_until_ready()
             del unet_params
 
-        images = self.decode_latents(latents, image_dec, w_lr)
+        images = self.decode_latents(latents, image_dec, w_lr,
+                                     progress_cb=progress_cb)
         if return_latents:
             return images, latents
         return images

@@ -62,8 +62,20 @@ class Predictor:
         color_fix: str = "None",
         tile_size: int = 256,
         seed: Optional[int] = None,
+        segment_frames: Optional[int] = None,
+        progress_cb=None,
     ) -> str:
-        """Upscale one video; returns the output mp4 path."""
+        """Upscale one video; returns the output mp4 path.
+
+        ``segment_frames``: streaming-ingest mode — decode frames through the
+        native ring buffer in bounded batches, process ``segment_frames``-long
+        segments, and append each segment's output to the mp4 incrementally,
+        so host memory never stages the whole video (the unit of temporal
+        context becomes the segment, exactly the clip-length approximation
+        the reference's own ~32-frame eval makes).
+        ``progress_cb(stage, i, n)``: live stage ticks ("denoise"/"decode"
+        from the pipeline, "tile"/"segment" from this driver).
+        """
         assert self.pipeline is not None, "call setup() first"
         import jax
         import jax.numpy as jnp
@@ -75,6 +87,13 @@ class Predictor:
 
         if seed is None:
             seed = secrets.randbelow(2**31)  # random default (ref :157-159)
+
+        if segment_frames is not None:
+            return self._predict_streaming(
+                video_path, output_path, noise_level, guidance_scale,
+                inference_steps, propagation_steps, caption, a_prompt,
+                n_prompt, color_fix, tile_size, seed, segment_frames,
+                progress_cb)
 
         frames_u8, fps, name = video_io.read_video(video_path)
         if caption is None and self.captioner is not None:
@@ -108,10 +127,31 @@ class Predictor:
         )
 
         t0 = time.time()
+        output = self._run_clip(prompt, video, flows_bi, common, color_fix,
+                                tile_size, progress_cb)
+
+        out_u8 = video_io.from_model_range(output[0])
+        out_file = os.path.join(output_path, f"{name}_upscaled.mp4")
+        video_io.write_video(out_file, out_u8, fps)
+        print(f"predict: {time.time() - t0:.1f}s → {out_file}")
+        return out_file
+
+    def _run_clip(self, prompt, video, flows_bi, common, color_fix,
+                  tile_size, progress_cb=None):
+        """Tile loop + pipeline call + color fix for one clip
+        (ref inference_upscale_a_video.py:200-331). video: (1,T,H,W,3)."""
+        import jax.numpy as jnp
+
+        from ..ops.resize import resize_2d
+        from ..pipeline.color import adain_color_fix, wavelet_color_fix
+        from ..pipeline.tiling import needs_tiling, plan_tiles
+
+        t = video.shape[1]
+        h, w = video.shape[2:4]
         if needs_tiling(h, w):
             specs = plan_tiles(h, w, tile_size, 64)
             output = np.zeros((1, t, h * 4, w * 4, 3), dtype=np.float32)
-            for spec in specs:
+            for ti, spec in enumerate(specs):
                 tile = video[:, :, spec.in_y0:spec.in_y1, spec.in_x0:spec.in_x1]
                 tile_flows = None
                 if flows_bi is not None:
@@ -120,19 +160,134 @@ class Predictor:
                         for f in flows_bi
                     )
                 out_tile = np.asarray(
-                    self.pipeline(prompt, tile, flows_bi=tile_flows, **common))
+                    self.pipeline(prompt, tile, flows_bi=tile_flows,
+                                  progress_cb=progress_cb, **common))
                 output[:, :, spec.out_y0:spec.out_y1, spec.out_x0:spec.out_x1] = \
                     out_tile[:, :, spec.tile_y0:spec.tile_y1, spec.tile_x0:spec.tile_x1]
+                if progress_cb is not None:
+                    progress_cb("tile", ti + 1, len(specs))
         else:
-            output = np.asarray(self.pipeline(prompt, video, flows_bi=flows_bi, **common))
+            output = np.asarray(self.pipeline(
+                prompt, video, flows_bi=flows_bi, progress_cb=progress_cb,
+                **common))
 
         if color_fix in ("AdaIn", "Wavelet"):
             style = resize_2d(video[0], (h * 4, w * 4), "bicubic")
             fix = adain_color_fix if color_fix == "AdaIn" else wavelet_color_fix
             output = np.asarray(fix(jnp.asarray(output[0]), style))[None]
+        return output
 
-        out_u8 = video_io.from_model_range(output[0])
+    def _predict_streaming(self, video_path, output_path, noise_level,
+                           guidance_scale, inference_steps, propagation_steps,
+                           caption, a_prompt, n_prompt, color_fix, tile_size,
+                           seed, segment_frames, progress_cb):
+        """Bounded-memory ingest → per-segment pipeline → incremental write.
+
+        Frames stream decoder→ring→segments; the ring (native/frameproc.cpp,
+        Python-queue fallback) holds at most ``slots`` batches, so a clip
+        longer than the buffer never stages fully host-side.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from ..utils import video_io
+        from ..utils.stream import make_ring
+
+        frame_iter = video_io.stream_video(video_path, batch=8)
+        first = next(frame_iter)
+        if caption is None and self.captioner is not None:
+            caption = self.captioner(first[0])
+        prompt = (caption or "") + a_prompt
+
+        hh, ww = first.shape[1:3]
+        ring = make_ring(4, (8,) + first.shape[1:], np.uint8)
+
+        import threading
+
+        def produce():
+            # variable-length tail batches ride the meta queue; the ring
+            # carries fixed-slot payloads (zero-padded, sliced on pop).
+            # itertools.chain keeps the decode lazy — only the ring's 4
+            # slots + one in-flight batch exist host-side at any moment.
+            import itertools
+
+            try:
+                for batch in itertools.chain([first], frame_iter):
+                    pad = np.zeros((8,) + first.shape[1:], np.uint8)
+                    pad[: len(batch)] = batch
+                    ring.push(pad)
+                    meta.put(len(batch))
+            finally:
+                meta.put(None)
+                ring.close()
+
+        import queue as _q
+
+        meta: "_q.Queue" = _q.Queue()
+        threading.Thread(target=produce, daemon=True).start()
+
+        fps = 25.0
+        try:
+            import cv2
+
+            cap = cv2.VideoCapture(video_path)
+            fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+            cap.release()
+        except Exception:
+            pass
+
+        name = os.path.splitext(os.path.basename(video_path))[0]
         out_file = os.path.join(output_path, f"{name}_upscaled.mp4")
-        video_io.write_video(out_file, out_u8, fps)
-        print(f"predict: {time.time() - t0:.1f}s → {out_file}")
+        writer = video_io.VideoWriter(out_file, fps)
+
+        common = dict(
+            num_inference_steps=inference_steps,
+            guidance_scale=guidance_scale,
+            noise_level=noise_level,
+            negative_prompt=n_prompt,
+            propagation_steps=list(propagation_steps),
+        )
+
+        seg: list = []
+        seg_idx = 0
+        t0 = time.time()
+
+        def flush(frames_u8):
+            nonlocal seg_idx
+            video = jnp.asarray(video_io.to_model_range(frames_u8))[None]
+            flows_bi = None
+            if propagation_steps:
+                from ..models.raft import compute_bidirectional_flows, load_raft
+
+                raft_path = os.path.join(self.model_dir,
+                                         "propagator/raft-things.pth")
+                if self.raft is None:
+                    self.raft = load_raft(
+                        raft_path if os.path.exists(raft_path) else None)
+                flows_bi = compute_bidirectional_flows(self.raft, video)
+            out = self._run_clip(
+                prompt, video, flows_bi,
+                dict(common, key=jax.random.PRNGKey(seed + seg_idx)),
+                color_fix, tile_size, progress_cb)
+            writer.append(video_io.from_model_range(out[0]))
+            seg_idx += 1
+            if progress_cb is not None:
+                progress_cb("segment", seg_idx, -1)  # total unknown (stream)
+
+        try:
+            while True:
+                n = meta.get()
+                if n is None:
+                    break
+                batch = ring.pop()[:n]
+                seg.append(batch)
+                if sum(len(b) for b in seg) >= segment_frames:
+                    flush(np.concatenate(seg)[:segment_frames])
+                    rest = np.concatenate(seg)[segment_frames:]
+                    seg = [rest] if len(rest) else []
+            if seg and sum(len(b) for b in seg):
+                flush(np.concatenate(seg))
+        finally:
+            writer.close()
+        print(f"predict[stream]: {time.time() - t0:.1f}s → {out_file}")
         return out_file

@@ -75,8 +75,8 @@ function b64(file){return new Promise((res,rej)=>{const fr=new FileReader();
  fr.onload=()=>res(fr.result.split(',')[1]);fr.onerror=rej;
  fr.readAsDataURL(file);});}
 async function go(){
- const st=document.getElementById('status');st.textContent='running…';
- const body={noise_level:+document.getElementById('n').value,
+ const st=document.getElementById('status');st.textContent='starting…';
+ const body={stream:true,noise_level:+document.getElementById('n').value,
   guidance_scale:+document.getElementById('g').value,
   inference_steps:+document.getElementById('s').value,
   propagation_steps:document.getElementById('p').value,
@@ -86,7 +86,16 @@ async function go(){
  if(f){body.video_b64=await b64(f);body.filename=f.name;}
  else body.video_path=document.getElementById('path').value;
  const r=await fetch('/upscale',{method:'POST',body:JSON.stringify(body)});
- const j=await r.json();
+ const reader=r.body.getReader();const dec=new TextDecoder();let buf='';let j={};
+ for(;;){const {done,value}=await reader.read();if(done)break;
+  buf+=dec.decode(value,{stream:true});
+  let nl;while((nl=buf.indexOf('\n'))>=0){
+   const line=buf.slice(0,nl).trim();buf=buf.slice(nl+1);
+   if(!line)continue;const ev=JSON.parse(line);
+   if(ev.progress)st.textContent=ev.progress.stage+' '+ev.progress.i+
+     (ev.progress.n>0?'/'+ev.progress.n:'');
+   else j=ev;
+  }}
  if(j.output){st.textContent='done';
   document.getElementById('out').innerHTML=
    '<video controls src="/file?path='+encodeURIComponent(j.output)+'"></video>';
@@ -137,20 +146,21 @@ class WebDemo:
         except Exception as e:
             return {"error": f"controller unreachable: {e}"}
 
-    def upscale(self, data: dict) -> dict:
+    def _prepare_job(self, data: dict):
+        """Validate + stage the input; returns (kwargs, None) or (None, err)."""
         video_path = data.get("video_path")
         if video_path and not self.file_ok(video_path):
             # server-side paths are restricted to the demo work dir —
             # an arbitrary path would let any reachable client feed any
             # worker-readable file into the pipeline
-            return {"error": "video_path must be inside the demo work dir"}
+            return None, {"error": "video_path must be inside the demo work dir"}
         if not video_path and data.get("video_b64"):
             fname = os.path.basename(data.get("filename") or "upload.mp4")
             video_path = os.path.join(self.work_dir, f"{int(time.time())}_{fname}")
             with open(video_path, "wb") as f:
                 f.write(base64.b64decode(data["video_b64"]))
         if not video_path or not os.path.exists(video_path):
-            return {"error": "no input video"}
+            return None, {"error": "no input video"}
 
         p = data.get("propagation_steps") or ()
         if isinstance(p, str):
@@ -166,33 +176,87 @@ class WebDemo:
         }
         if data.get("caption"):
             kwargs["caption"] = data["caption"]
+        return kwargs, None
 
+    def _pick_worker(self):
         try:
             got = self._post(self.controller_url + "/get_worker", {},
                              timeout=10)
         except Exception as e:
-            return {"error": f"controller unreachable: {e}"}
+            return None, {"error": f"controller unreachable: {e}"}
         if "url" not in got:
-            return {"error": "no workers available"}
+            return None, {"error": "no workers available"}
+        return got["url"], None
+
+    def _open_job(self, worker_url: str) -> int:
         with self.lock:
             job_id = self._next_job
             self._next_job += 1
             self._jobs[job_id] = {"id": job_id, "status": "running",
-                                  "worker": got["url"],
+                                  "worker": worker_url,
                                   "started": time.time()}
-        try:
-            result = self._post(got["url"] + "/predict", kwargs)
-        except Exception as e:
-            result = {"error": f"worker failed: {e}"}
+        return job_id
+
+    def _close_job(self, job_id: int, kwargs: dict, worker_url: str,
+                   result: dict) -> dict:
         with self.lock:
             self._jobs[job_id].update(
                 status="done" if "output" in result else "error",
                 finished=time.time())
-        self._log({"type": "upscale", "worker": got["url"],
+        self._log({"type": "upscale", "worker": worker_url,
                    "params": {k: v for k, v in kwargs.items()
                               if k != "video_path"},
                    "ok": "output" in result})
         return dict(result, job_id=job_id)
+
+    def upscale(self, data: dict) -> dict:
+        kwargs, err = self._prepare_job(data)
+        if err:
+            return err
+        worker_url, err = self._pick_worker()
+        if err:
+            return err
+        job_id = self._open_job(worker_url)
+        try:
+            result = self._post(worker_url + "/predict", kwargs)
+        except Exception as e:
+            result = {"error": f"worker failed: {e}"}
+        return self._close_job(job_id, kwargs, worker_url, result)
+
+    def upscale_stream(self, data: dict, emit) -> None:
+        """Streaming upscale: forwards the worker's chunked NDJSON progress
+        lines through ``emit(event_dict)``, updating the job registry live
+        (replaces polling-only progress; the reference demo's streaming
+        chatbot analog)."""
+        kwargs, err = self._prepare_job(data)
+        if err is None:
+            worker_url, err = self._pick_worker()
+        if err:
+            emit(err)
+            return
+        job_id = self._open_job(worker_url)
+        emit({"job_id": job_id, "worker": worker_url})
+        result = {"error": "worker stream ended unexpectedly"}
+        try:
+            req = urllib.request.Request(
+                worker_url + "/predict",
+                data=json.dumps(dict(kwargs, stream=True)).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=3600) as resp:
+                for line in resp:  # chunked NDJSON, one event per line
+                    line = line.strip()
+                    if not line:
+                        continue
+                    ev = json.loads(line)
+                    if "progress" in ev:
+                        with self.lock:
+                            self._jobs[job_id]["progress"] = ev["progress"]
+                        emit(ev)
+                    else:
+                        result = ev
+        except Exception as e:
+            result = {"error": f"worker failed: {e}"}
+        emit(self._close_job(job_id, kwargs, worker_url, result))
 
     def jobs(self) -> dict:
         """In-flight and recent jobs (polling progress, most recent first)."""
@@ -219,8 +283,31 @@ class WebDemo:
 
 def make_handler(demo: WebDemo):
     class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"  # chunked responses need 1.1
+
         def log_message(self, *args):
             pass
+
+        def _stream_upscale(self, data: dict):
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def emit(ev: dict):
+                payload = json.dumps(ev).encode() + b"\n"
+                try:
+                    self.wfile.write(
+                        f"{len(payload):X}\r\n".encode() + payload + b"\r\n")
+                    self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError):
+                    pass  # client gone; keep draining the worker stream
+
+            demo.upscale_stream(data, emit)
+            try:
+                self.wfile.write(b"0\r\n\r\n")
+            except (BrokenPipeError, ConnectionResetError):
+                pass
 
         def _json(self, code: int, payload: dict):
             body = json.dumps(payload).encode()
@@ -269,6 +356,9 @@ def make_handler(demo: WebDemo):
             if self.path == "/list_models":
                 self._json(200, demo.list_models())
             elif self.path == "/upscale":
+                if data.pop("stream", False):
+                    self._stream_upscale(data)
+                    return
                 result = demo.upscale(data)
                 self._json(200 if "output" in result else 500, result)
             elif self.path == "/caption":

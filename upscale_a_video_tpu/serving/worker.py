@@ -1,14 +1,19 @@
 """Model worker: registers with the controller, heartbeats, and executes
 upscale jobs serially on its TPU (ref llava/serve/model_worker.py — worker
 registration + heartbeat thread + generate endpoint, rebuilt for the VSR
-pipeline).
+pipeline; the streaming response mirrors the reference worker's
+``generate_stream`` chunked protocol).
 
-    POST /predict {video_path, ...predict kwargs} → {output}
+    POST /predict {video_path, ...predict kwargs}            → {output}
+    POST /predict {..., "stream": true}  → chunked NDJSON: one
+         {"progress": {stage, i, n}} line per pipeline stage tick, then
+         {"output": ...} (or {"error": ...}) as the final line
     POST /status → {queue_length}
 """
 
 from __future__ import annotations
 
+import inspect
 import json
 import queue
 import threading
@@ -28,6 +33,10 @@ class Worker:
         self.predictor = predictor
         self.jobs: "queue.Queue[tuple]" = queue.Queue()
         self._stop = threading.Event()
+        # progress_cb is only passed when the predictor declares it — fakes
+        # and older predictors keep working unchanged
+        sig = inspect.signature(predictor.predict)
+        self._supports_progress = "progress_cb" in sig.parameters
 
     # --------------------------------------------------- controller protocol
 
@@ -58,24 +67,42 @@ class Worker:
     def job_loop(self) -> None:
         while not self._stop.is_set():
             try:
-                kwargs, result_box, done = self.jobs.get(timeout=1.0)
+                kwargs, result_box, done, events = self.jobs.get(timeout=1.0)
             except queue.Empty:
                 continue
+            if events is not None and self._supports_progress:
+                def cb(stage, i, n, _ev=events):
+                    _ev.put({"progress": {"stage": stage, "i": i, "n": n}})
+                kwargs = dict(kwargs, progress_cb=cb)
             try:
                 result_box["output"] = self.predictor.predict(**kwargs)
             except Exception as e:  # job failures don't kill the worker
                 result_box["error"] = f"{type(e).__name__}: {e}"
+            if events is not None:
+                events.put(dict(result_box))
+                events.put(None)  # stream terminator
             done.set()
 
     def submit(self, kwargs: dict, timeout: float = 3600.0) -> dict:
         box: dict = {}
         done = threading.Event()
-        self.jobs.put((kwargs, box, done))
+        self.jobs.put((kwargs, box, done, None))
         done.wait(timeout)
         return box
 
+    def submit_stream(self, kwargs: dict) -> "queue.Queue":
+        """Enqueue a job; returns a queue yielding {"progress": ...} events,
+        then the final result dict, then None."""
+        box: dict = {}
+        events: "queue.Queue" = queue.Queue()
+        self.jobs.put((kwargs, box, threading.Event(), events))
+        return events
+
     def start(self) -> None:
-        self.register()
+        try:
+            self.register()
+        except Exception:
+            pass  # controller not up yet — the heartbeat loop re-registers
         threading.Thread(target=self.heartbeat_loop, daemon=True).start()
         threading.Thread(target=self.job_loop, daemon=True).start()
 
@@ -85,6 +112,8 @@ class Worker:
 
 def make_handler(worker: Worker):
     class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"  # chunked responses need 1.1
+
         def log_message(self, *args):
             pass
 
@@ -96,10 +125,39 @@ def make_handler(worker: Worker):
             self.end_headers()
             self.wfile.write(body)
 
+        def _chunk(self, data: bytes):
+            self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
+
+        def _stream_predict(self, data: dict):
+            events = worker.submit_stream(data)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            while True:
+                ev = events.get()
+                if ev is None:
+                    break
+                try:
+                    self._chunk(json.dumps(ev).encode() + b"\n")
+                    self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError):
+                    return  # client went away; job still completes
+            self.wfile.write(b"0\r\n\r\n")
+
         def do_POST(self):
-            n = int(self.headers.get("Content-Length", 0))
-            data = json.loads(self.rfile.read(n) or b"{}")
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                data = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(data, dict):
+                    raise ValueError("body must be a JSON object")
+            except (ValueError, json.JSONDecodeError) as e:
+                self._json(400, {"error": f"bad request body: {e}"})
+                return
             if self.path == "/predict":
+                if data.pop("stream", False):
+                    self._stream_predict(data)
+                    return
                 result = worker.submit(data)
                 self._json(200 if "output" in result else 500, result)
             elif self.path == "/status":
@@ -112,9 +170,11 @@ def make_handler(worker: Worker):
 
 def serve_worker(name: str, host: str, port: int, controller_url: str,
                  predictor: Predictor) -> ThreadingHTTPServer:
-    worker = Worker(name, f"http://{host}:{port}", controller_url, predictor)
-    worker.start()
+    worker = Worker(name, "", controller_url, predictor)
     server = ThreadingHTTPServer((host, port), make_handler(worker))
+    # bind before advertising so port=0 registers the actual bound port
+    worker.url = f"http://{host}:{server.server_address[1]}"
+    worker.start()
     server.worker = worker  # type: ignore[attr-defined]
     return server
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import os
 from pathlib import Path
-from typing import List, Tuple
+from typing import Iterator, List, Tuple
 
 import numpy as np
 
@@ -139,3 +139,69 @@ def get_video_paths(folder: str) -> List[str]:
         for f in os.listdir(folder)
         if f.endswith(VIDEO_EXTENSIONS)
     )
+
+
+def stream_video(path: str, batch: int = 8) -> Iterator[np.ndarray]:
+    """Yield (n<=batch, H, W, 3) RGB uint8 frame batches WITHOUT staging the
+    whole video in memory (cv2 frame-by-frame decode; image folders yield
+    per-batch too). Host-memory footprint is one batch + the codec state —
+    the bounded-ingest producer for serving (worker ring streaming)."""
+    import cv2
+
+    p = Path(path)
+    if p.is_dir():
+        frames, _fps, _ = _read_image_folder(p)
+        for s in range(0, len(frames), batch):
+            yield frames[s:s + batch]
+        return
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise IOError(f"cv2 cannot open {path}")
+    try:
+        buf = []
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            buf.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+            if len(buf) == batch:
+                yield np.stack(buf)
+                buf = []
+        if buf:
+            yield np.stack(buf)
+    finally:
+        cap.release()
+
+
+class VideoWriter:
+    """Incremental mp4 writer (cv2): frames append as they are produced, so
+    a long run never stages the whole upscaled video host-side."""
+
+    def __init__(self, path: str, fps: float = 25.0):
+        import cv2
+
+        self._cv2 = cv2
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self.path = path
+        self.fps = float(fps)
+        self._writer = None
+
+    def append(self, frames_u8: np.ndarray) -> None:
+        """frames_u8: (T, H, W, 3) RGB uint8."""
+        cv2 = self._cv2
+        if self._writer is None:
+            h, w = frames_u8.shape[1:3]
+            fourcc = cv2.VideoWriter_fourcc(
+                *("mp4v" if self.path.endswith(".mp4") else "XVID"))
+            self._writer = cv2.VideoWriter(self.path, fourcc, self.fps, (w, h))
+            if not self._writer.isOpened():
+                raise IOError(f"cv2 cannot open writer for {self.path}")
+        for frame in frames_u8:
+            self._writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+
+    def close(self) -> None:
+        if self._writer is not None:
+            self._writer.release()
+            self._writer = None
+            if not os.path.exists(self.path) or os.path.getsize(self.path) == 0:
+                raise IOError(f"cv2 wrote empty file {self.path}")
