@@ -137,7 +137,11 @@ def run(args) -> None:
 
         flows_bi = None
         if raft is not None:
-            flows_bi = compute_bidirectional_flows(raft, video)
+            if hasattr(pipeline, "compute_flows"):
+                # sharded pipeline: data-parallel RAFT over its mesh
+                flows_bi = pipeline.compute_flows(raft, video)
+            else:
+                flows_bi = compute_bidirectional_flows(raft, video)
 
         key = jax.random.PRNGKey(args.seed)
         start_time = time.time()

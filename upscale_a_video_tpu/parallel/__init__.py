@@ -28,4 +28,12 @@ def __getattr__(name):
         from . import decode
 
         return decode.build_sharded_decode
+    if name == "build_sharded_flows":
+        from . import flow
+
+        return flow.build_sharded_flows
+    if name == "distributed_propagate_latents":
+        from . import propagation
+
+        return propagation.distributed_propagate_latents
     raise AttributeError(name)

@@ -83,3 +83,14 @@ class ShardedVideoUpscalePipeline(VideoUpscalePipeline):
         if progress_cb is not None:
             progress_cb("decode", 1, 1)  # one sharded dispatch decodes all
         return out
+
+    def compute_flows(self, runner, frames):
+        """Data-parallel bidirectional flow over this pipeline's mesh
+        (parallel/flow.py): drop-in for the serial
+        ``models.raft.compute_bidirectional_flows`` in eval/CLI drivers."""
+        if not hasattr(self, "_flow_fn") or self._flow_runner is not runner:
+            from .flow import build_sharded_flows
+
+            self._flow_fn = build_sharded_flows(runner, self.mesh, self.axis)
+            self._flow_runner = runner
+        return self._flow_fn(frames)

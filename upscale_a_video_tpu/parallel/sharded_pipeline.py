@@ -8,13 +8,13 @@ computed chunk-locally with a ppermute halo/spill exchange that reproduces the
 serial window plan exactly (parallel/temporal.windowed_apply_local); the DDIM
 split-step update is elementwise per frame and needs no communication.
 
-Propagation (`-p`) is frame-sequential (SURVEY §5.7 hard part #4), but the
-latents it touches are small next to the UNet activations, so at propagation
-steps the chunks are all-gathered along the time axis over ICI, the exact
-serial ``propagate_latents`` recurrence runs replicated, and each chip keeps
-its own slice — bit-identical to the serial plan, one collective per
-propagation step (ref pipeline_upscale_a_video.py:652-657 applies propagation
-at a handful of selected steps only).
+Propagation (`-p`) is frame-sequential (SURVEY §5.7 hard part #4) and stays
+bit-identical to the serial plan: the recurrence is pipelined across the
+mesh with single-frame boundary ``ppermute``s (parallel/propagation.py) —
+2·(N−1) boundary frames on the wire per propagation step instead of the
+previous full-clip time-axis all-gather, an L× (frames-per-chip) volume
+reduction (ref pipeline_upscale_a_video.py:652-657 applies propagation at a
+handful of selected steps only).
 """
 
 from __future__ import annotations
@@ -54,7 +54,7 @@ def build_sharded_denoise(
     communication, and the per-chip cache shrinks ~1/N (full-level caching
     fits where the single-chip run must skip levels).
     """
-    from ..models.propagation import propagate_latents
+    from .propagation import distributed_propagate_latents
     from .temporal import local_window_count
 
     n_chunks = mesh.shape[axis]
@@ -76,10 +76,8 @@ def build_sharded_denoise(
         t_local = latents.shape[1]
 
         def propagate_local(x0):
-            full = jax.lax.all_gather(x0, axis, axis=1, tiled=True)
-            full = propagate_latents(full, flows_f, flows_b)
-            start = jax.lax.axis_index(axis) * t_local
-            return jax.lax.dynamic_slice_in_dim(full, start, t_local, axis=1)
+            return distributed_propagate_latents(
+                x0, flows_f, flows_b, axis, n_chunks)
 
         def body(carry, step_in):
             if pab is not None:
