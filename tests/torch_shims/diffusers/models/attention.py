@@ -31,6 +31,9 @@ class AttentionBlock(nn.Module):
         self.value = nn.Linear(channels, channels)
         self.rescale_output_factor = rescale_output_factor
         self.proj_attn = nn.Linear(channels, channels)
+        # probed by the reference pipeline's fp32-decode branch
+        # (pipeline_upscale_a_video.py:673)
+        self._use_memory_efficient_attention_xformers = False
 
     def reshape_heads_to_batch_dim(self, tensor):
         b, seq, dim = tensor.shape

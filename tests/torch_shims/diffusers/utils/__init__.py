@@ -36,6 +36,18 @@ def apply_forward_hook(fn):
     return fn
 
 
+def deprecate(*args, **kwargs):
+    pass
+
+
+def is_accelerate_available():
+    return False
+
+
+def is_accelerate_version(*args, **kwargs):
+    return False
+
+
 class logging:  # diffusers.utils.logging namespace
     @staticmethod
     def get_logger(name=None):
