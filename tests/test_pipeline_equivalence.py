@@ -143,3 +143,61 @@ def test_step_mode_validation(setup):
     pipe, *_ = setup
     with pytest.raises(ValueError, match="step_mode"):
         VideoUpscalePipeline(pipe.m, step_mode="bogus")
+
+
+def test_duplicate_tail_window_dedup_matches_naive(setup):
+    """T=14 (starts 0,6,6 — duplicate right-aligned tail): the deduplicated
+    window plan must still reproduce the reference's sequential loop, which
+    really does run the duplicate window."""
+    pipe, unet, unet_params, sched, lrs = setup
+    image = jax.random.uniform(jax.random.PRNGKey(21), (1, 14, 8, 8, 3),
+                               minval=-1, maxval=1)
+    key = jax.random.PRNGKey(22)
+    steps, nl, guidance = 2, 35, 3.0
+
+    prompt_embeds = pipe.encode_prompt(["p"], ["n"], True)
+    fresh = VideoUpscalePipeline(pipe.m, dtype=jnp.float32)
+    _, latents = fresh("p", image, num_inference_steps=steps,
+                       guidance_scale=guidance, noise_level=nl,
+                       negative_prompt="n", key=key, return_latents=True)
+    want = naive_windowed_reference(pipe, unet, unet_params, sched, lrs,
+                                    image, prompt_embeds, steps, guidance,
+                                    nl, key)
+    np.testing.assert_allclose(np.asarray(latents), np.asarray(want),
+                               atol=5e-4, rtol=1e-3)
+
+
+def naive_windowed_reference(pipe, unet, unet_params, sched, lrs, image,
+                             prompt_embeds, steps, guidance, noise_level, key):
+    """Reference loop incl. the T>8 sliding-window branch with duplicates
+    (pipeline_upscale_a_video.py:621-635)."""
+    b, t, h, w, _ = image.shape
+    do_cfg = guidance > 1.0
+    k, nkey, lkey = jax.random.split(key, 3)
+    noise = jax.random.normal(nkey, image.shape, jnp.float32)
+    noised = lrs.add_noise(image.astype(jnp.float32), noise,
+                           jnp.full((b,), noise_level))
+    mult = 2 if do_cfg else 1
+    image_noised = jnp.concatenate([noised] * mult, axis=0)
+    lvl = jnp.full((mult * b,), noise_level, dtype=jnp.int32)
+    latents = jax.random.normal(lkey, (b, t, h, w, 4), jnp.float32)
+
+    for tt in sched.timesteps(steps):
+        latent_in = jnp.concatenate([latents] * mult, axis=0)
+        slots = [None] * t
+        for start in range(0, t, 6):
+            end = min(t, start + 8)
+            if end - start < 8:
+                start = end - 8
+            p = unet.apply(unet_params, latent_in[:, start:end], int(tt),
+                           image_noised[:, start:end], prompt_embeds, lvl)
+            for kk, idx in enumerate(range(start, end)):
+                slots[idx] = (p[:, kk] if slots[idx] is None
+                              else slots[idx] * 0.5 + p[:, kk] * 0.5)
+        pred = jnp.stack(slots, axis=1).astype(jnp.float32)
+        if do_cfg:
+            uncond, cond = jnp.split(pred, 2, axis=0)
+            pred = uncond + guidance * (cond - uncond)
+        x0 = sched.step_v0(pred, int(tt), latents)
+        latents = sched.step_vt(x0, pred, int(tt), latents, steps)
+    return latents

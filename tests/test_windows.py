@@ -64,3 +64,39 @@ def test_chunk_starts():
     assert chunk_starts(7, 3) == ((0, 3), (3, 6), (6, 7))
     assert chunk_starts(3, 3) == ((0, 3),)
     assert chunk_starts(2, 3) == ((0, 2),)
+
+
+class TestUniquePlan:
+    def test_dedup_flagship_t32(self):
+        from upscale_a_video_tpu.pipeline.windows import unique_window_plan
+
+        ustarts, blend = unique_window_plan(32)
+        assert ustarts == (0, 6, 12, 18, 24)
+        assert blend.shape == (5, 8, 32)
+        np.testing.assert_allclose(blend.sum(axis=(0, 1)), 1.0)
+
+    def test_collapsed_weights_match_full_plan(self):
+        """Scatter with collapsed weights == scatter with the full plan when
+        duplicate windows carry identical predictions (they always do)."""
+        from upscale_a_video_tpu.pipeline.windows import unique_window_plan
+
+        for T in range(8, 51):
+            starts = window_starts(T)
+            full = window_blend_matrix(T)
+            ustarts, blend = unique_window_plan(T)
+            rng = np.random.RandomState(T)
+            # per-START prediction (duplicates share it, as the UNet does)
+            preds = {s: rng.randn(min(8, T), 3) for s in set(starts)}
+            want = np.einsum("nkt,nkc->tc",
+                             full, np.stack([preds[s] for s in starts]))
+            got = np.einsum("nkt,nkc->tc",
+                            blend, np.stack([preds[s] for s in ustarts]))
+            np.testing.assert_allclose(got, want, atol=1e-6, err_msg=f"T={T}")
+
+    def test_no_dup_geometries_unchanged(self):
+        from upscale_a_video_tpu.pipeline.windows import unique_window_plan
+
+        for T in (8, 10, 16, 96):
+            ustarts, blend = unique_window_plan(T)
+            assert ustarts == window_starts(T)
+            np.testing.assert_array_equal(blend, window_blend_matrix(T))

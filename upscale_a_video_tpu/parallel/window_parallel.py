@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..pipeline.windows import window_blend_matrix, window_starts
+from ..pipeline.windows import unique_window_plan
 
 
 def _item_plan(num_frames: int, batch: int, n_dev: int, window: int, stride: int):
@@ -44,8 +44,10 @@ def _item_plan(num_frames: int, batch: int, n_dev: int, window: int, stride: int
     Returns (win, item_start (P,), item_b (P,), item_blend (P, win, T),
     onehot_b (P, batch)) as numpy arrays.
     """
-    starts = np.asarray(window_starts(num_frames, window, stride))
-    blend = window_blend_matrix(num_frames, window, stride)  # (n_win, win, T)
+    # deduplicated plan (windows.unique_window_plan): repeated tail windows
+    # collapse onto one work item — exact, and one fewer item to shard
+    ustarts, blend = unique_window_plan(num_frames, window, stride)
+    starts = np.asarray(ustarts)
     win = blend.shape[1]
     n_items = len(starts) * batch
     padded = -(-n_items // n_dev) * n_dev

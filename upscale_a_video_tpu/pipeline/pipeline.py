@@ -34,7 +34,7 @@ from ..models.propagation import propagate_latents
 from ..models.unet_video import UNetVideoModel
 from ..models.vae import AutoencoderKLVideo
 from ..sampling import DDIMScheduler, DDPMScheduler
-from .windows import chunk_starts, window_blend_matrix, window_starts
+from .windows import chunk_starts, unique_window_plan
 
 
 @dataclasses.dataclass(frozen=True)
@@ -201,8 +201,12 @@ class VideoUpscalePipeline:
         """Compile one denoise program for a (B, T, H, W) geometry."""
         b, t, h, w = shape
         win = min(self.unet_window, t)
-        starts = np.asarray(window_starts(t, self.unet_window, self.unet_stride))
-        blend = jnp.asarray(window_blend_matrix(t, self.unet_window, self.unet_stride))
+        # deduplicated plan: repeated right-aligned tail windows compute
+        # identical outputs, so only unique windows run (exact; 5 instead of
+        # 6 UNet calls/step at the flagship T=32 — windows.unique_window_plan)
+        ustarts, ublend = unique_window_plan(t, self.unet_window, self.unet_stride)
+        starts = np.asarray(ustarts)
+        blend = jnp.asarray(ublend)
         n_win = len(starts)
         # (N, win) absolute frame indices per window
         win_idx = jnp.asarray(starts[:, None] + np.arange(win)[None, :])

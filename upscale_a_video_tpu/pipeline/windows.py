@@ -77,3 +77,26 @@ def chunk_starts(num_frames: int, chunk: int) -> Tuple[Tuple[int, int], ...]:
     return tuple(
         (s, min(num_frames, s + chunk)) for s in range(0, num_frames, chunk)
     )
+
+
+@functools.lru_cache(maxsize=128)
+def unique_window_plan(num_frames: int, window: int = 8, stride: int = 6
+                       ) -> Tuple[Tuple[int, ...], np.ndarray]:
+    """(unique_starts, blend) — the reference plan with duplicate windows
+    COLLAPSED. The right-aligned tail can repeat a start (T ≡ 2 mod stride…:
+    e.g. T=32 → 0,6,12,18,24,24; T=14 → 0,6,6; ref :621-625); a repeated
+    window recomputes the identical UNet output, so its sequential-blend
+    weights can be summed onto one computation. Output is bit-identical to
+    the full plan while skipping 1/len(starts) of the UNet work whenever a
+    duplicate exists (1 of 6 windows at the flagship T=32)."""
+    starts = window_starts(num_frames, window, stride)
+    blend_full = window_blend_matrix(num_frames, window, stride)
+    unique: List[int] = []
+    for s in starts:
+        if s not in unique:
+            unique.append(s)
+    blend = np.zeros((len(unique),) + blend_full.shape[1:], dtype=np.float32)
+    for n, s in enumerate(starts):
+        blend[unique.index(s)] += blend_full[n]
+    assert np.allclose(blend.sum(axis=(0, 1)), 1.0)
+    return tuple(unique), blend
