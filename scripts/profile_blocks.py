@@ -28,7 +28,7 @@ from upscale_a_video_tpu.nn.temporal import TemporalModule3D
 
 CFG = UNetVideoConfig.from_json("/root/reference/configs/unet_video_config.json")
 B, T = 2, 8
-SIZE = 256
+SIZE = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 
 
 def timed(name, module, *args, reps=8, method=None):

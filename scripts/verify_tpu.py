@@ -110,6 +110,11 @@ def fused_cross_attention_check():
     want = np.asarray(fused_cross_attention_block(*args, use_pallas=False, **kw),
                       np.float32)
     np.testing.assert_allclose(got, want, atol=5e-2)
+    # residual folded in-kernel == x + delta
+    got_r = np.asarray(fused_cross_attention_block(
+        *args, use_pallas=True, add_residual=True, **kw), np.float32)
+    np.testing.assert_allclose(got_r, np.asarray(args[0], np.float32) + got,
+                               atol=5e-2)
 
 
 def fused_feedforward_check():
@@ -128,6 +133,10 @@ def fused_feedforward_check():
     got = np.asarray(fused_feedforward(*args, use_pallas=True), np.float32)
     want = np.asarray(fused_feedforward(*args, use_pallas=False), np.float32)
     np.testing.assert_allclose(got, want, atol=5e-2)
+    got_r = np.asarray(fused_feedforward(*args, use_pallas=True,
+                                         add_residual=True), np.float32)
+    np.testing.assert_allclose(got_r, np.asarray(args[0], np.float32) + got,
+                               atol=5e-2)
 
 
 def fused_temporal_attention_block_check():
@@ -152,6 +161,11 @@ def fused_temporal_attention_block_check():
     want = np.asarray(fused_temporal_attention_block(
         *args, video_length=t, use_pallas=False), np.float32)
     np.testing.assert_allclose(got, want, atol=5e-2)
+    got_r = np.asarray(fused_temporal_attention_block(
+        *args, video_length=t, use_pallas=True, add_residual=True),
+        np.float32)
+    np.testing.assert_allclose(got_r, np.asarray(args[0], np.float32) + got,
+                               atol=5e-2)
 
 
 def flagship_forward_check():

@@ -124,3 +124,59 @@ def test_block_fused_gradients(monkeypatch):
     for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gf)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-3, rtol=2e-3)
+
+
+def test_add_residual_folds_exactly():
+    a = _args(jax.random.PRNGKey(7))
+    kw = dict(heads=HEADS, dim_head=D, t_repeat=T, use_pallas=False)
+    delta = fused_cross_attention_block(
+        a["x"], a["ln_scale"], a["ln_bias"], a["wq"], a["k"], a["v"],
+        a["wo"], a["bo"], **kw)
+    fused = fused_cross_attention_block(
+        a["x"], a["ln_scale"], a["ln_bias"], a["wq"], a["k"], a["v"],
+        a["wo"], a["bo"], add_residual=True, **kw)
+    np.testing.assert_allclose(np.asarray(fused),
+                               np.asarray(a["x"] + delta), atol=1e-5)
+
+
+def test_ff_add_residual_folds_exactly():
+    from upscale_a_video_tpu.ops.fused_feedforward import fused_feedforward
+
+    key = jax.random.PRNGKey(9)
+    ks = jax.random.split(key, 7)
+    bt, s, c = 4, 32, 128
+    x = jax.random.normal(ks[0], (bt, s, c), jnp.float32)
+    args = (1 + 0.1 * jax.random.normal(ks[1], (c,)),
+            0.1 * jax.random.normal(ks[2], (c,)),
+            0.1 * jax.random.normal(ks[3], (c, 8 * c)),
+            0.1 * jax.random.normal(ks[4], (8 * c,)),
+            0.1 * jax.random.normal(ks[5], (4 * c, c)),
+            0.1 * jax.random.normal(ks[6], (c,)))
+    delta = fused_feedforward(x, *args, use_pallas=False)
+    fused = fused_feedforward(x, *args, use_pallas=False, add_residual=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(x + delta),
+                               atol=1e-5)
+
+
+def test_vae_mid_attn_bf16_gate(monkeypatch):
+    """UAV_VAE_ATTN_BF16 runs the fp32 VAE mid attention with bf16 q/k/v
+    (the reference's xformers-on-fp32-VAE analogue,
+    pipeline_upscale_a_video.py:672-673): output stays fp32 and close to
+    the strict-fp32 path; the gate is off by default."""
+    import os
+
+    from upscale_a_video_tpu.nn.attention import SpatialAttentionBlock
+
+    blk = SpatialAttentionBlock(channels=128, norm_num_groups=4,
+                                dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 2, 8, 8, 128),
+                          jnp.float32)
+    params = blk.init(jax.random.PRNGKey(4), x)
+    assert not os.environ.get("UAV_VAE_ATTN_BF16")
+    strict = blk.apply(params, x)
+    monkeypatch.setenv("UAV_VAE_ATTN_BF16", "1")
+    fast = blk.apply(params, x)
+    assert fast.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(strict),
+                               atol=3e-2)
+    assert not np.array_equal(np.asarray(fast), np.asarray(strict))

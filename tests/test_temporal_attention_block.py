@@ -10,6 +10,7 @@ import pytest
 from upscale_a_video_tpu.nn.attention import BasicTransformerBlock
 from upscale_a_video_tpu.ops.temporal_attention_block import (
     _reference,
+    fused_temporal_attention_block,
     temporal_attention_block_fits,
 )
 
@@ -118,3 +119,26 @@ def test_block_fused_temporal_gradients(monkeypatch):
     for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gf)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-3, rtol=2e-3)
+
+
+def test_add_residual_folds_exactly():
+    import numpy as _np
+    key = jax.random.PRNGKey(11)
+    ks = jax.random.split(key, 9)
+    bt, s, c, t, heads = 8, 32, 128, 4, 2
+    x = jax.random.normal(ks[0], (bt, s, c), jnp.float32)
+    args = (1 + 0.1 * jax.random.normal(ks[1], (c,)),
+            0.1 * jax.random.normal(ks[2], (c,)),
+            0.1 * jax.random.normal(ks[3], (c, c)),
+            0.1 * jax.random.normal(ks[4], (c, c)),
+            0.1 * jax.random.normal(ks[5], (c, c)),
+            0.1 * jax.random.normal(ks[6], (c, c)),
+            0.1 * jax.random.normal(ks[7], (c,)),
+            0.1 * jax.random.normal(ks[8], (heads, t, t)))
+    delta = fused_temporal_attention_block(x, *args, video_length=t,
+                                           use_pallas=False)
+    fused = fused_temporal_attention_block(x, *args, video_length=t,
+                                           use_pallas=False,
+                                           add_residual=True)
+    _np.testing.assert_allclose(_np.asarray(fused), _np.asarray(x + delta),
+                                atol=1e-5)

@@ -409,16 +409,22 @@ class BasicTransformerBlock(nn.Module):
         # it per frame; slicing every T-th row recovers the clip batch)
         kv_src = context[::video_length] if fuse_cross else None
 
+        # exact/no-PAB path: fold each residual add into the Pallas kernels
+        # (they hold x in VMEM anyway; the standalone XLA adds were ~29 ms
+        # per 320² step). With caching the delta must exist separately.
+        fold_res = not want_cache
+
         def fused_cross(norm_name, attn_name):
             lns, lnb = _GNParams(self.dim, self.param_dtype, name=norm_name)()
             wq, k, v, wo, bo = _FusedCrossParams(
                 query_dim=self.dim, cross_attention_dim=context.shape[-1],
                 heads=self.heads, dim_head=self.dim_head, dtype=self.dtype,
                 param_dtype=self.param_dtype, name=attn_name)(kv_src)
-            def compute(x):
+            def compute(x, add_residual=False):
                 return fused_cross_attention_block(
                     x, lns, lnb, wq, k, v, wo, bo, heads=self.heads,
-                    dim_head=self.dim_head, t_repeat=video_length)
+                    dim_head=self.dim_head, t_repeat=video_length,
+                    add_residual=add_residual)
             return compute
 
         # attn1: text-cross when only_cross_attention (3 of 4 levels in the
@@ -427,8 +433,13 @@ class BasicTransformerBlock(nn.Module):
         if self.only_cross_attention and fuse_cross:
             compute1 = fused_cross("norm1", "attn1")
             hs1 = hidden_states
-            d1 = self._cached(lambda: compute1(hs1),
-                              cache_in.get("attn1"), flags.get(kind1, False))
+            if fold_res:
+                hidden_states = compute1(hs1, add_residual=True)
+                d1 = None
+            else:
+                d1 = self._cached(lambda: compute1(hs1),
+                                  cache_in.get("attn1"),
+                                  flags.get(kind1, False))
         else:
             h = ln("norm1")(hidden_states)
             attn1 = CrossAttention(
@@ -441,18 +452,23 @@ class BasicTransformerBlock(nn.Module):
                 lambda: attn1(h, context if self.only_cross_attention else None),
                 cache_in.get("attn1"), flags.get(kind1, False),
             )
-        if cache_key("attn1"):
+        if cache_key("attn1") and d1 is not None:
             new_cache["attn1"] = d1
-        hidden_states = d1 + hidden_states
+        if d1 is not None:
+            hidden_states = d1 + hidden_states
 
         # attn2: text cross-attention
         if self.cross_attention_dim is not None:
             if fuse_cross:
                 compute2 = fused_cross("norm2", "attn2")
                 hs2 = hidden_states
-                d2 = self._cached(lambda: compute2(hs2),
-                                  cache_in.get("attn2"),
-                                  flags.get("cross", False))
+                if fold_res:
+                    hidden_states = compute2(hs2, add_residual=True)
+                    d2 = None
+                else:
+                    d2 = self._cached(lambda: compute2(hs2),
+                                      cache_in.get("attn2"),
+                                      flags.get("cross", False))
             else:
                 h = ln("norm2")(hidden_states)
                 attn2 = CrossAttention(
@@ -462,9 +478,10 @@ class BasicTransformerBlock(nn.Module):
                 )
                 d2 = self._cached(lambda: attn2(h, context),
                                   cache_in.get("attn2"), flags.get("cross", False))
-            if cache_key("attn2"):
+            if cache_key("attn2") and d2 is not None:
                 new_cache["attn2"] = d2
-            hidden_states = d2 + hidden_states
+            if d2 is not None:
+                hidden_states = d2 + hidden_states
 
         # temporal attention (ref attention.py:553-560). On TPU the whole
         # step — both layout transposes, LN, q/k/v with RoPE, packed T=8
@@ -491,14 +508,20 @@ class BasicTransformerBlock(nn.Module):
                 param_dtype=self.param_dtype, name="attn_temporal",
             )(video_length)
             hst = hidden_states
-            dt_ = self._cached(
-                lambda: fused_temporal_attention_block(
+            if fold_res:
+                hidden_states = fused_temporal_attention_block(
                     hst, lnst, lnbt, wq, wk, wv, wo, bo, bias_hss,
-                    video_length=video_length),
-                cache_in.get("attn_temporal"), flags.get("temporal", False))
-            if cache_key("attn_temporal"):
-                new_cache["attn_temporal"] = dt_
-            hidden_states = dt_ + hidden_states
+                    video_length=video_length, add_residual=True)
+            else:
+                dt_ = self._cached(
+                    lambda: fused_temporal_attention_block(
+                        hst, lnst, lnbt, wq, wk, wv, wo, bo, bias_hss,
+                        video_length=video_length),
+                    cache_in.get("attn_temporal"),
+                    flags.get("temporal", False))
+                if cache_key("attn_temporal"):
+                    new_cache["attn_temporal"] = dt_
+                hidden_states = dt_ + hidden_states
         else:
             x = hidden_states.reshape(b, video_length, s, c).transpose(0, 2, 1, 3)
             x = x.reshape(b * s, video_length, c)
@@ -529,7 +552,7 @@ class BasicTransformerBlock(nn.Module):
             w1, b1, w2, b2 = _FFParams(self.dim, self.param_dtype,
                                        name="ff")()
             hidden_states = fused_feedforward(
-                hidden_states, lns3, lnb3, w1, b1, w2, b2) + hidden_states
+                hidden_states, lns3, lnb3, w1, b1, w2, b2, add_residual=True)
         else:
             h = ln("norm3")(hidden_states)
             hidden_states = FeedForward(
@@ -653,8 +676,20 @@ class SpatialAttentionBlock(nn.Module):
         q = _split_heads(q, heads)
         k = _split_heads(k, heads)
         v = _split_heads(v, heads)
+        # Opt-in bf16-internal attention for the fp32 decode path: the
+        # analogue of the reference enabling xformers on the fp32 VAE
+        # (pipeline_upscale_a_video.py:672-673) — QK^T/PV in reduced
+        # precision with fp32 softmax/accumulation. At 320² latents this
+        # attention is ~2/3 of the decode FLOPs; bf16 MXU passes are ~3×
+        # cheaper than fp32 emulation.
+        import os
+
+        attn_dtype = q.dtype
+        if (os.environ.get("UAV_VAE_ATTN_BF16")
+                and q.dtype == jnp.float32):
+            q, k, v = (a.astype(jnp.bfloat16) for a in (q, k, v))
         out = attention(q, k, v, scale=1.0 / np.sqrt(c / heads))
-        out = _merge_heads(out)
+        out = _merge_heads(out).astype(attn_dtype)
 
         out = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_attn")(out)
         out = out.reshape(b, t, hh, ww, c)

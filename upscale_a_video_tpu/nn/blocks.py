@@ -25,6 +25,7 @@ from typing import Callable, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 default_kernel_init = nn.initializers.lecun_normal()
 
@@ -193,9 +194,16 @@ class Upsample3D(nn.Module):
         else:
             nh, nw = output_size
         # nearest-neighbor: exact match to F.interpolate(mode="nearest")
-        rows = (jnp.arange(nh) * h // nh).astype(jnp.int32)
-        cols = (jnp.arange(nw) * w // nw).astype(jnp.int32)
-        x = x[:, :, rows][:, :, :, cols]
+        if (nh, nw) == (2 * h, 2 * w):
+            # broadcast+reshape (out[2i]=out[2i+1]=in[i] ≡ floor(j/2) index):
+            # pure layout ops — the integer-gather form lowers to serial
+            # per-row while loops on TPU (~14 ms/step measured at 320²)
+            x = jnp.broadcast_to(x[:, :, :, None, :, None, :],
+                                 (b, t, h, 2, w, 2, c)).reshape(b, t, nh, nw, c)
+        else:
+            rows = np.asarray((np.arange(nh) * h // nh), np.int32)
+            cols = np.asarray((np.arange(nw) * w // nw), np.int32)
+            x = x[:, :, rows][:, :, :, cols]
         if self.use_conv:
             x = InflatedConv(
                 self.channels, (3, 3), dtype=self.dtype, param_dtype=self.param_dtype, name="conv"

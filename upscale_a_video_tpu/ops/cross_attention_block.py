@@ -41,7 +41,7 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def _kernel(x_ref, lns_ref, lnb_ref, m_ref, vo_ref, pb_ref, bo_ref, o_ref,
-            *, heads: int, eps: float):
+            *, heads: int, eps: float, add_residual: bool):
     x = x_ref[0].astype(jnp.float32)                       # (r, C)
     mu = jnp.mean(x, axis=1, keepdims=True)
     var = jnp.mean(x * x, axis=1, keepdims=True) - mu * mu
@@ -64,11 +64,13 @@ def _kernel(x_ref, lns_ref, lnb_ref, m_ref, vo_ref, pb_ref, bo_ref, o_ref,
 
     delta = jax.lax.dot(probs, vo_ref[0], preferred_element_type=jnp.float32)
     delta = delta + bo_ref[0].astype(jnp.float32)
+    if add_residual:
+        delta = delta + x  # x already in VMEM: kills the standalone XLA add
     o_ref[0] = delta.astype(o_ref.dtype)
 
 
 def _reference(x, ln_scale, ln_bias, m, vo, pad_bias, bo,
-               t_repeat: int, eps: float):
+               t_repeat: int, eps: float, add_residual: bool = False):
     """Same math in XLA (CPU path + VJP), on the M/Vo form."""
     bt, s, c = x.shape
     hk = m.shape[-1]
@@ -89,7 +91,10 @@ def _reference(x, ln_scale, ln_bias, m, vo, pad_bias, bo,
     probs = jax.nn.softmax(scores, axis=-1).reshape(bt, s, hk).astype(x.dtype)
     out = jnp.einsum("bsk,bkc->bsc", probs, vo_rep,
                      preferred_element_type=jnp.float32)
-    return (out + bo.astype(jnp.float32)).astype(x.dtype)
+    out = out + bo.astype(jnp.float32)
+    if add_residual:
+        out = out + xf
+    return out.astype(x.dtype)
 
 
 def _row_block(s: int, c: int) -> int:
@@ -99,13 +104,15 @@ def _row_block(s: int, c: int) -> int:
     return r
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def _fused(x, ln_scale, ln_bias, m, vo, pad_bias, bo, t_repeat, eps):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _fused(x, ln_scale, ln_bias, m, vo, pad_bias, bo, t_repeat, eps,
+           add_residual):
     return _fused_impl(x, ln_scale, ln_bias, m, vo, pad_bias, bo, t_repeat,
-                       eps)
+                       eps, add_residual)
 
 
-def _fused_impl(x, ln_scale, ln_bias, m, vo, pad_bias, bo, t_repeat, eps):
+def _fused_impl(x, ln_scale, ln_bias, m, vo, pad_bias, bo, t_repeat, eps,
+                add_residual=False):
     bt, s, c = x.shape
     hk = m.shape[-1]
     heads = hk // SKV_PAD
@@ -120,7 +127,8 @@ def _fused_impl(x, ln_scale, ln_bias, m, vo, pad_bias, bo, t_repeat, eps):
     blk_pb = pl.BlockSpec((1, hk), lambda i, p: (0, 0))
 
     return pl.pallas_call(
-        functools.partial(_kernel, heads=heads, eps=eps),
+        functools.partial(_kernel, heads=heads, eps=eps,
+                          add_residual=add_residual),
         grid=grid,
         in_specs=[blk_x, blk_c, blk_c, blk_m, blk_vo, blk_pb, blk_c],
         out_specs=blk_x,
@@ -134,16 +142,19 @@ def _fused_impl(x, ln_scale, ln_bias, m, vo, pad_bias, bo, t_repeat, eps):
       bo.reshape(1, c).astype(cdt))
 
 
-def _fused_fwd(x, ln_scale, ln_bias, m, vo, pad_bias, bo, t_repeat, eps):
-    out = _fused_impl(x, ln_scale, ln_bias, m, vo, pad_bias, bo, t_repeat, eps)
+def _fused_fwd(x, ln_scale, ln_bias, m, vo, pad_bias, bo, t_repeat, eps,
+               add_residual):
+    out = _fused_impl(x, ln_scale, ln_bias, m, vo, pad_bias, bo, t_repeat,
+                      eps, add_residual)
     return out, (x, ln_scale, ln_bias, m, vo, pad_bias, bo)
 
 
-def _fused_bwd(t_repeat, eps, res, g):
+def _fused_bwd(t_repeat, eps, add_residual, res, g):
     (x, ln_scale, ln_bias, m, vo, pad_bias, bo) = res
     _, vjp = jax.vjp(
         lambda x_, lns, lnb, m_, vo_, bo_: _reference(
-            x_, lns, lnb, m_, vo_, pad_bias, bo_, t_repeat, eps),
+            x_, lns, lnb, m_, vo_, pad_bias, bo_, t_repeat, eps,
+            add_residual),
         x, ln_scale, ln_bias, m, vo, bo)
     dx, dlns, dlnb, dm, dvo, dbo = vjp(g)
     return dx, dlns, dlnb, dm, dvo, jnp.zeros_like(pad_bias), dbo
@@ -180,8 +191,10 @@ def fused_cross_attention_block(
     t_repeat: int,
     eps: float = 1e-5,
     use_pallas: Optional[bool] = None,
+    add_residual: bool = False,
 ) -> jax.Array:
-    """Returns the attention delta LN→attn→proj(x) — caller adds the residual.
+    """Returns the attention delta LN→attn→proj(x), or x + delta when
+    ``add_residual`` (exact/no-PAB path) — caller adds the residual otherwise.
 
     ``t_repeat``: how many consecutive x batch rows share one k/v batch entry
     (= video_length; the text context is per-clip, not per-frame)."""
@@ -213,6 +226,6 @@ def fused_cross_attention_block(
                                                      dim_head))
     if not use_pallas:
         return _reference(x, ln_scale, ln_bias, m, vo, pad_bias, bo,
-                          t_repeat, eps)
+                          t_repeat, eps, add_residual)
     return _fused(x, ln_scale, ln_bias, m, vo, pad_bias, bo, int(t_repeat),
-                  float(eps))
+                  float(eps), bool(add_residual))

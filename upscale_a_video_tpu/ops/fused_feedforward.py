@@ -25,7 +25,7 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def _kernel(x_ref, lns_ref, lnb_ref, w1a_ref, w1b_ref, b1a_ref, b1b_ref,
-            w2_ref, b2_ref, o_ref, *, eps: float):
+            w2_ref, b2_ref, o_ref, *, eps: float, add_residual: bool):
     x = x_ref[0].astype(jnp.float32)                        # (r, C)
     mu = jnp.mean(x, axis=1, keepdims=True)
     var = jnp.mean(x * x, axis=1, keepdims=True) - mu * mu
@@ -40,10 +40,16 @@ def _kernel(x_ref, lns_ref, lnb_ref, w1a_ref, w1b_ref, b1a_ref, b1b_ref,
     m = (h * jax.nn.gelu(g)).astype(o_ref.dtype)            # (r, 4C)
     out = jax.lax.dot(m, w2_ref[...], preferred_element_type=jnp.float32)
     out = out + b2_ref[0].astype(jnp.float32)
+    if add_residual:
+        # x is already in VMEM — folding the residual here removes the
+        # standalone XLA add (one extra read+write of the token activations
+        # per FF, measured ~1-4 ms each at the 320² UNet levels)
+        out = out + x
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-def _reference(x, ln_scale, ln_bias, w1, b1, w2, b2, eps: float):
+def _reference(x, ln_scale, ln_bias, w1, b1, w2, b2, eps: float,
+               add_residual: bool = False):
     """XLA math identical to LayerNorm + GEGLU + Dense (nn/attention.py)."""
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
@@ -54,7 +60,8 @@ def _reference(x, ln_scale, ln_bias, w1, b1, w2, b2, eps: float):
     h = hn @ w1.astype(x.dtype) + b1.astype(x.dtype)
     a, g = jnp.split(h, 2, axis=-1)
     m = a * jax.nn.gelu(g)
-    return m @ w2.astype(x.dtype) + b2.astype(x.dtype)
+    out = m @ w2.astype(x.dtype) + b2.astype(x.dtype)
+    return out + x if add_residual else out
 
 
 def _row_block(s: int, c: int) -> int:
@@ -64,12 +71,12 @@ def _row_block(s: int, c: int) -> int:
     return r
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def _fused(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
-    return _fused_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, eps)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _fused(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, add_residual):
+    return _fused_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, add_residual)
 
 
-def _fused_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
+def _fused_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, add_residual=False):
     bt, s, c = x.shape
     hid = w2.shape[0]                                       # 4C
     r = _row_block(s, c)
@@ -86,7 +93,7 @@ def _fused_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
     blk_w2 = pl.BlockSpec((hid, c), lambda i, p: (0, 0))
 
     return pl.pallas_call(
-        functools.partial(_kernel, eps=eps),
+        functools.partial(_kernel, eps=eps, add_residual=add_residual),
         grid=grid,
         in_specs=[blk_x, blk_c, blk_c, blk_w1, blk_w1, blk_h, blk_h,
                   blk_w2, blk_c],
@@ -102,15 +109,16 @@ def _fused_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
       b2.reshape(1, c).astype(cdt))
 
 
-def _fused_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
-    out = _fused_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, eps)
+def _fused_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, add_residual):
+    out = _fused_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, add_residual)
     return out, (x, ln_scale, ln_bias, w1, b1, w2, b2)
 
 
-def _fused_bwd(eps, res, g):
+def _fused_bwd(eps, add_residual, res, g):
     x, ln_scale, ln_bias, w1, b1, w2, b2 = res
     _, vjp = jax.vjp(
-        lambda *a: _reference(*a, eps), x, ln_scale, ln_bias, w1, b1, w2, b2)
+        lambda *a: _reference(*a, eps, add_residual),
+        x, ln_scale, ln_bias, w1, b1, w2, b2)
     return vjp(g)
 
 
@@ -133,11 +141,16 @@ def fused_feedforward(
     *,
     eps: float = 1e-5,
     use_pallas: Optional[bool] = None,
+    add_residual: bool = False,
 ) -> jax.Array:
-    """Returns the FF delta; caller adds the residual."""
+    """Returns the FF delta, or x + delta when ``add_residual`` (the
+    residual add rides the kernel's existing VMEM copy of x — used on the
+    exact/no-PAB path where the delta is not needed separately)."""
     if use_pallas is None:
         use_pallas = (jax.devices()[0].platform == "tpu"
                       and feedforward_fits(x.shape))
     if not use_pallas:
-        return _reference(x, ln_scale, ln_bias, w1, b1, w2, b2, eps)
-    return _fused(x, ln_scale, ln_bias, w1, b1, w2, b2, float(eps))
+        return _reference(x, ln_scale, ln_bias, w1, b1, w2, b2, eps,
+                          add_residual)
+    return _fused(x, ln_scale, ln_bias, w1, b1, w2, b2, float(eps),
+                  bool(add_residual))

@@ -58,7 +58,8 @@ def _rope_tables(t: int, c: int, heads: int, rot_dim: int, theta: float):
 
 def _kernel(x_ref, lns_ref, lnb_ref, cos_ref, sin_ref, wq_ref, wk_ref,
             wv_ref, wo_ref, bo_ref, bias_ref, o_ref,
-            *, t: int, r: int, heads: int, rot_dim: int, eps: float):
+            *, t: int, r: int, heads: int, rot_dim: int, eps: float,
+            add_residual: bool):
     c = x_ref.shape[-1]
     d = c // heads
     x = x_ref[0].astype(jnp.float32).reshape(t * r, c)
@@ -125,6 +126,8 @@ def _kernel(x_ref, lns_ref, lnb_ref, cos_ref, sin_ref, wq_ref, wk_ref,
     delta = jax.lax.dot(outt.astype(o_ref.dtype), wo_ref[...],
                         preferred_element_type=jnp.float32)
     delta = delta + bo_ref[0].astype(jnp.float32)
+    if add_residual:
+        delta = delta + x  # x already in VMEM: kills the standalone XLA add
     o_ref[0] = delta.astype(o_ref.dtype).reshape(t, r, c)
 
 
@@ -138,7 +141,8 @@ def _ln(x, scale, bias, eps):
 
 
 def _reference(x, ln_scale, ln_bias, wq, wk, wv, wo, bo, bias_hss,
-               video_length: int, rot_dim: int, eps: float):
+               video_length: int, rot_dim: int, eps: float,
+               add_residual: bool = False):
     """XLA math of the whole block (CPU path + VJP): exactly what the module
     path computes (nn/attention.py BasicTransformerBlock temporal step)."""
     bt, s, c = x.shape
@@ -158,7 +162,8 @@ def _reference(x, ln_scale, ln_bias, wq, wk, wv, wo, bo, bias_hss,
     out = out.reshape(b * s, video_length, c)
     delta = out @ wo.astype(x.dtype) + bo.astype(x.dtype)
     delta = delta.reshape(b, s, video_length, c).transpose(0, 2, 1, 3)
-    return delta.reshape(bt, s, c)
+    delta = delta.reshape(bt, s, c)
+    return delta + x if add_residual else delta
 
 
 def _row_block(s: int, t: int, c: int) -> int:
@@ -168,15 +173,15 @@ def _row_block(s: int, t: int, c: int) -> int:
     return r if (s % r == 0 and (r * t) % ROWS == 0) else 0
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
 def _fused(x, ln_scale, ln_bias, wq, wk, wv, wo, bo, bias_hss,
-           video_length, rot_dim, eps):
+           video_length, rot_dim, eps, add_residual):
     return _fused_impl(x, ln_scale, ln_bias, wq, wk, wv, wo, bo, bias_hss,
-                       video_length, rot_dim, eps)
+                       video_length, rot_dim, eps, add_residual)
 
 
 def _fused_impl(x, ln_scale, ln_bias, wq, wk, wv, wo, bo, bias_hss,
-                video_length, rot_dim, eps):
+                video_length, rot_dim, eps, add_residual=False):
     bt, s, c = x.shape
     t = video_length
     b = bt // t
@@ -199,7 +204,8 @@ def _fused_impl(x, ln_scale, ln_bias, wq, wk, wv, wo, bo, bias_hss,
 
     out = pl.pallas_call(
         functools.partial(_kernel, t=t, r=r, heads=heads,
-                          rot_dim=min(rot_dim, d), eps=eps),
+                          rot_dim=min(rot_dim, d), eps=eps,
+                          add_residual=add_residual),
         grid=grid,
         in_specs=[blk_x, blk_c, blk_c, blk_tc, blk_tc, blk_w, blk_w, blk_w,
                   blk_w, blk_c, blk_bias],
@@ -216,16 +222,16 @@ def _fused_impl(x, ln_scale, ln_bias, wq, wk, wv, wo, bo, bias_hss,
 
 
 def _fused_fwd(x, ln_scale, ln_bias, wq, wk, wv, wo, bo, bias_hss,
-               video_length, rot_dim, eps):
+               video_length, rot_dim, eps, add_residual):
     out = _fused_impl(x, ln_scale, ln_bias, wq, wk, wv, wo, bo, bias_hss,
-                      video_length, rot_dim, eps)
+                      video_length, rot_dim, eps, add_residual)
     return out, (x, ln_scale, ln_bias, wq, wk, wv, wo, bo, bias_hss)
 
 
-def _fused_bwd(video_length, rot_dim, eps, res, g):
+def _fused_bwd(video_length, rot_dim, eps, add_residual, res, g):
     x, ln_scale, ln_bias, wq, wk, wv, wo, bo, bias_hss = res
     _, vjp = jax.vjp(
-        lambda *a: _reference(*a, video_length, rot_dim, eps),
+        lambda *a: _reference(*a, video_length, rot_dim, eps, add_residual),
         x, ln_scale, ln_bias, wq, wk, wv, wo, bo, bias_hss)
     return vjp(g)
 
@@ -255,16 +261,17 @@ def fused_temporal_attention_block(
     rot_dim: int = 32,
     eps: float = 1e-5,
     use_pallas: Optional[bool] = None,
+    add_residual: bool = False,
 ) -> jax.Array:
-    """Returns the temporal-attention delta in the (B·T, S, C) layout —
-    caller adds the residual. Same math as the module chain
-    norm_temporal→TemporalAttention (incl. its transposes)."""
+    """Returns the temporal-attention delta in the (B·T, S, C) layout, or
+    x + delta when ``add_residual`` (exact/no-PAB path). Same math as the
+    module chain norm_temporal→TemporalAttention (incl. its transposes)."""
     if use_pallas is None:
         use_pallas = (jax.devices()[0].platform == "tpu"
                       and temporal_attention_block_fits(
                           x.shape, video_length, bias_hss.shape[0]))
     if not use_pallas:
         return _reference(x, ln_scale, ln_bias, wq, wk, wv, wo, bo,
-                          bias_hss, video_length, rot_dim, eps)
+                          bias_hss, video_length, rot_dim, eps, add_residual)
     return _fused(x, ln_scale, ln_bias, wq, wk, wv, wo, bo, bias_hss,
-                  video_length, rot_dim, eps)
+                  video_length, rot_dim, eps, bool(add_residual))

@@ -78,6 +78,7 @@ def build_window_sharded_denoise(
     stride: int = 6,
     compute_dtype=jnp.bfloat16,
     propagation_steps=(),
+    pab=None,
 ):
     """Returns jitted ``denoise(params, latents, image_noised, prompt_embeds,
     denoise_level[, flows_f, flows_b]) -> latents`` with ALL video tensors
@@ -86,6 +87,15 @@ def build_window_sharded_denoise(
     latents: (B, T, H, W, 4); image_noised: (CFG·B, T, H, W, 3). Use this
     scheme whenever T/N < window (short clips on big meshes); it reproduces
     the serial window plan exactly for any T.
+
+    ``pab`` (a ``pipeline.PABConfig``) enables multi-chip Pyramid Attention
+    Broadcast: each chip carries the attention-delta cache for ITS items
+    only, so the per-chip cache HBM shrinks ~N× vs the single-chip batched
+    path — full-kind, all-level caching fits where one chip must drop
+    levels (``skip_levels``). Item → chip assignment is static across steps,
+    and every cache entry sees exactly the per-item sequence of states the
+    single-chip batched run produces, so sharded-PAB ≡ single-chip-PAB
+    bitwise (NOT ≡ exact semantics — PAB itself is approximate).
     """
     from ..models.propagation import propagate_latents
 
@@ -102,6 +112,15 @@ def build_window_sharded_denoise(
         [i in set(propagation_steps) for i in range(num_inference_steps)])
     offs = np.arange(win)
 
+    if pab is not None:
+        collect_struct = unet.make_pab_collect_cache(
+            skip=pab.skip_levels,
+            kinds=(None if set(pab.kinds) == {"spatial", "cross", "temporal"}
+                   else pab.kinds))
+        _fl = pab.use_cached_flags(num_inference_steps)
+        pab_flag_xs = tuple(jnp.asarray(_fl[k])
+                            for k in ("cross", "spatial", "temporal"))
+
     def local_denoise(params, latents, image_noised, prompt_embeds,
                       denoise_level, flows_f=None, flows_b=None):
         rank = jax.lax.axis_index(axis)
@@ -112,8 +131,24 @@ def build_window_sharded_denoise(
         my_onehot = sl(jnp.asarray(onehot))             # (ipd, bc)
         frame_idx = my_start[:, None] + jnp.asarray(offs)[None, :]  # (ipd, win)
 
-        def body(lat, step_in):
-            tstep, prop_now = step_in
+        def run_unet(lat_items, img_items, emb_items, lvl_items, tstep,
+                     cache, flags):
+            if pab is None:
+                return unet.apply(params, lat_items, tstep, img_items,
+                                  emb_items, lvl_items), None
+            return unet.apply(params, lat_items, tstep, img_items, emb_items,
+                              lvl_items, attn_cache=cache, use_flags=flags)
+
+        def body(carry, step_in):
+            if pab is not None:
+                lat, cache = carry
+                tstep, prop_now, f_cross, f_spatial, f_temporal = step_in
+                flags = {"cross": f_cross, "spatial": f_spatial,
+                         "temporal": f_temporal}
+            else:
+                lat = carry
+                tstep, prop_now = step_in
+                cache = flags = None
             latent_in = jnp.concatenate([lat, lat]) if do_cfg else lat
 
             # gather this chip's items: (ipd, win, H, W, C)
@@ -122,9 +157,9 @@ def build_window_sharded_denoise(
             emb_items = prompt_embeds[my_b]
             lvl_items = denoise_level[my_b]
 
-            preds = unet.apply(params, lat_items.astype(compute_dtype), tstep,
-                               img_items.astype(compute_dtype), emb_items,
-                               lvl_items)
+            preds, cache = run_unet(lat_items.astype(compute_dtype),
+                                    img_items.astype(compute_dtype),
+                                    emb_items, lvl_items, tstep, cache, flags)
             # partial blend on this chip, then one psum rebuilds the full
             # overlap-averaged prediction everywhere
             part = jnp.einsum("ikt,ib,ikhwc->bthwc", my_blend, my_onehot,
@@ -140,8 +175,29 @@ def build_window_sharded_denoise(
                     prop_now,
                     lambda v: propagate_latents(v, flows_f, flows_b),
                     lambda v: v, x0)
-            return scheduler.step_vt(x0, noise_pred, tstep, lat,
-                                     num_inference_steps), ()
+            new_lat = scheduler.step_vt(x0, noise_pred, tstep, lat,
+                                        num_inference_steps)
+            if pab is not None:
+                return (new_lat, cache), ()
+            return new_lat, ()
+
+        if pab is not None:
+            # zero-init the PER-CHIP cache (this chip's ipd items only)
+            h, w = latents.shape[2], latents.shape[3]
+            cache_shapes = jax.eval_shape(
+                lambda p, l, i, e, lv: unet.apply(
+                    p, l, jnp.int32(0), i, e, lv, attn_cache=collect_struct,
+                    use_flags={"cross": False, "spatial": False,
+                               "temporal": False})[1],
+                params,
+                jnp.zeros((ipd, win, h, w, 4), compute_dtype),
+                jnp.zeros((ipd, win, h, w, 3), compute_dtype),
+                prompt_embeds[my_b], denoise_level[my_b])
+            cache0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                  cache_shapes)
+            xs = (timesteps, prop_flags) + pab_flag_xs
+            (latents, _), _ = jax.lax.scan(body, (latents, cache0), xs)
+            return latents
 
         latents, _ = jax.lax.scan(body, latents, (timesteps, prop_flags))
         return latents
