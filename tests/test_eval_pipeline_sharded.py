@@ -84,3 +84,36 @@ def test_sharded_pipeline_with_propagation(modules):
                   propagation_steps=(1,), key=key)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=5e-5, rtol=5e-5)
+
+
+def test_sharded_pipeline_pab_matches_single_pab(modules):
+    """Drop-in sharded pipeline with PABConfig == single-chip pipeline with
+    the same PABConfig (multi-chip PAB wired through _build_denoise)."""
+    from upscale_a_video_tpu.pipeline.pipeline import PABConfig
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("win",))
+    img = jax.random.uniform(jax.random.PRNGKey(9), (1, 10, 8, 8, 3),
+                             minval=-1, maxval=1)
+    key = jax.random.PRNGKey(12)
+    pab = PABConfig(cross_range=2, spatial_range=2, temporal_range=2,
+                    start_step=1)
+
+    single = VideoUpscalePipeline(modules, dtype=jnp.float32,
+                                  decode_dtype=jnp.float32, pab=pab,
+                                  cfg_prefix_share=False)
+    want = single("p", img, num_inference_steps=3, guidance_scale=3.0,
+                  noise_level=20, key=key)
+
+    sharded = ShardedVideoUpscalePipeline(modules, mesh, dtype=jnp.float32,
+                                          decode_dtype=jnp.float32, pab=pab)
+    got = sharded("p", img, num_inference_steps=3, guidance_scale=3.0,
+                  noise_level=20, key=key)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=5e-5)
+
+    # PAB actually engaged (differs from the exact pipeline)
+    exact = VideoUpscalePipeline(modules, dtype=jnp.float32,
+                                 decode_dtype=jnp.float32)
+    base = exact("p", img, num_inference_steps=3, guidance_scale=3.0,
+                 noise_level=20, key=key)
+    assert not np.allclose(np.asarray(got), np.asarray(base), atol=1e-6)

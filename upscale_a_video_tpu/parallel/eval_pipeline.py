@@ -39,11 +39,12 @@ class ShardedVideoUpscalePipeline(VideoUpscalePipeline):
         unet_window: int = 8,
         unet_stride: int = 6,
         decode_chunk: int = 3,
+        pab=None,
     ):
         super().__init__(
             modules, dtype=dtype, decode_dtype=decode_dtype,
             unet_window=unet_window, unet_stride=unet_stride,
-            decode_chunk=decode_chunk,
+            decode_chunk=decode_chunk, pab=pab,
         )
         self.mesh = mesh
         self.axis = axis
@@ -59,6 +60,9 @@ class ShardedVideoUpscalePipeline(VideoUpscalePipeline):
             window=self.unet_window, stride=self.unet_stride,
             compute_dtype=self.dtype,
             propagation_steps=prop_steps if has_flows else (),
+            # multi-chip PAB: each chip carries only its items' caches
+            # (window_parallel.py; sharded-PAB == single-chip-PAB)
+            pab=self.pab,
         )
         if has_flows:
             return fn
