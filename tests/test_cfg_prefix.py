@@ -116,10 +116,14 @@ def _tiny_pipeline(cfg_prefix_share: bool):
 
     class Tok:
         def __call__(self, prompts):
+            import zlib
+
             out = np.full((len(prompts), 8), 3, dtype=np.int32)
             for i, p in enumerate(prompts):
                 out[i, 0] = 1
-                out[i, 1] = abs(hash(p)) % 60
+                # crc32, not hash(): hash() is PYTHONHASHSEED-randomized →
+                # different ids per pytest process → flaky tolerances
+                out[i, 1] = zlib.crc32(p.encode()) % 60
             return out
 
     key = jax.random.PRNGKey(0)
@@ -150,9 +154,14 @@ def _tiny_pipeline(cfg_prefix_share: bool):
                                 cfg_prefix_share=cfg_prefix_share)
 
 
-def test_pipeline_share_with_window_groups():
+def test_pipeline_share_with_window_groups(monkeypatch):
     """share composes with grouped windows (lax.map branch): T=20 → 4
     windows in groups of 2; share on == share off."""
+    # Pin f32 operand storage in the VAE mid attention: with the default
+    # bf16 operands, on/off latent noise (~1e-6) can straddle a bf16
+    # rounding boundary in the decode and amplify past the tolerance.
+    # This test is about SHARE mechanics; operand storage has its own test.
+    monkeypatch.setenv("UAV_VAE_ATTN_F32", "1")
     img = jax.random.uniform(jax.random.PRNGKey(6), (1, 20, 8, 8, 3),
                              jnp.float32, -1, 1)
     outs = {}
@@ -165,10 +174,13 @@ def test_pipeline_share_with_window_groups():
     np.testing.assert_allclose(outs[True], outs[False], rtol=1e-4, atol=1e-4)
 
 
-def test_pipeline_share_on_off_identical():
+def test_pipeline_share_on_off_identical(monkeypatch):
     """Full pipeline with cfg_prefix_share on vs off: same outputs
     (identical init keys ⇒ identical params ⇒ the only difference is the
     shared-prefix batching)."""
+    # f32 operand storage for the same reason as
+    # test_pipeline_share_with_window_groups (bf16 rounding amplification).
+    monkeypatch.setenv("UAV_VAE_ATTN_F32", "1")
     img = jax.random.uniform(jax.random.PRNGKey(5), (1, 4, 16, 16, 3),
                              jnp.float32, -1, 1)
     outs = {

@@ -159,10 +159,11 @@ def test_ff_add_residual_folds_exactly():
 
 
 def test_vae_mid_attn_bf16_gate(monkeypatch):
-    """UAV_VAE_ATTN_BF16 runs the fp32 VAE mid attention with bf16 q/k/v
-    (the reference's xformers-on-fp32-VAE analogue,
-    pipeline_upscale_a_video.py:672-673): output stays fp32 and close to
-    the strict-fp32 path; the gate is off by default."""
+    """The fp32 VAE mid attention defaults to bf16 q/k/v operand storage
+    (the MXU truncates f32 matmul operands to bf16 per pass at default
+    precision anyway — same accuracy class, half the operand traffic;
+    scripts/attn_precision.py). UAV_VAE_ATTN_F32 restores f32 operand
+    storage; output dtype is fp32 and close on both paths."""
     import os
 
     from upscale_a_video_tpu.nn.attention import SpatialAttentionBlock
@@ -172,11 +173,11 @@ def test_vae_mid_attn_bf16_gate(monkeypatch):
     x = jax.random.normal(jax.random.PRNGKey(3), (1, 2, 8, 8, 128),
                           jnp.float32)
     params = blk.init(jax.random.PRNGKey(4), x)
-    assert not os.environ.get("UAV_VAE_ATTN_BF16")
+    assert not os.environ.get("UAV_VAE_ATTN_F32")
+    fast = blk.apply(params, x)  # default: bf16 operands
+    monkeypatch.setenv("UAV_VAE_ATTN_F32", "1")
     strict = blk.apply(params, x)
-    monkeypatch.setenv("UAV_VAE_ATTN_BF16", "1")
-    fast = blk.apply(params, x)
-    assert fast.dtype == jnp.float32
+    assert fast.dtype == jnp.float32 and strict.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(fast), np.asarray(strict),
                                atol=3e-2)
     assert not np.array_equal(np.asarray(fast), np.asarray(strict))

@@ -60,4 +60,9 @@ def test_sharded_decode_matches_serial(cfg, t, n_dev):
     decode = build_sharded_decode(vae, mesh, num_frames=t)
     got = np.asarray(decode(params, latents, image))
     assert got.shape == want.shape
-    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+    # Chunks are independent, so sharded ≡ serial up to compilation noise:
+    # the shard_map program batches chunks (different conv batch extents →
+    # different XLA reduction orders) and the decoder now runs the folded
+    # subpixel upsampler-conv + bf16-operand mid attention, whose
+    # recompiled reduction orders shift the noise floor to ~3e-5 abs.
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)

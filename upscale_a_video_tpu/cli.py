@@ -55,13 +55,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=10)
     p.add_argument("--decode_fp32", action="store_true", default=False,
                    help="decode VAE in fp32 (reference parity); default bf16")
-    p.add_argument("--decode_attn", type=str, default="fp32",
+    p.add_argument("--decode_attn", type=str, default="bf16",
                    choices=("fp32", "bf16"),
-                   help="fp32-decode mid-attention internals: bf16 is the "
-                        "TPU analogue of the reference enabling xformers on "
-                        "the fp32 VAE (pipeline_upscale_a_video.py:672-673) "
-                        "— ~18%% faster decode, measured |Δ|max 0.026 on "
-                        "[-1,1] output with random weights")
+                   help="fp32-decode mid-attention operand storage. The TPU "
+                        "MXU truncates f32 matmul operands to bf16 per pass "
+                        "anyway (measured rel-err vs f64: 4.6e-3 f32 vs "
+                        "5.1e-3 bf16 — same class; softmax/accum stay f32), "
+                        "so bf16 operands are the default (~18%% faster "
+                        "decode); fp32 keeps f32 operand storage")
     p.add_argument("--w_lr", type=float, default=1.0)
     return p
 
@@ -79,9 +80,9 @@ def run(args) -> None:
 
     print("Loading Upscale-A-Video (TPU)")
     decode_dtype = jnp.float32 if args.decode_fp32 else jnp.bfloat16
-    if getattr(args, "decode_attn", "fp32") == "bf16":
+    if getattr(args, "decode_attn", "bf16") == "fp32":
         # trace-time gate read by nn.attention.SpatialAttentionBlock
-        os.environ["UAV_VAE_ATTN_BF16"] = "1"
+        os.environ["UAV_VAE_ATTN_F32"] = "1"
     pipeline = load_pipeline(
         None if args.random_weights else args.model_dir,
         use_video_vae=args.use_video_vae,

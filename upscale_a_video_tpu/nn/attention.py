@@ -599,9 +599,11 @@ class Transformer3DModel(nn.Module):
 
         residual = x
         # per-frame GroupNorm (stats exclude T: ref normalizes (b f) c h w,
-        # attention.py:363,374)
+        # attention.py:363,374). LeanGroupNorm ≡ nn.GroupNorm (same params,
+        # same f32 stats) without materializing an f32 activation copy.
+        from .blocks import LeanGroupNorm
         flat = x.reshape(b * t, hh, ww, c)
-        h = nn.GroupNorm(
+        h = LeanGroupNorm(
             num_groups=self.norm_num_groups, epsilon=1e-6, dtype=self.dtype,
             param_dtype=self.param_dtype, name="norm",
         )(flat)
@@ -637,10 +639,17 @@ class Transformer3DModel(nn.Module):
 
         tokens = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
                           name="proj_out")(tokens)
+        # Residual add in token space: both operands are row-major
+        # (B·T, H·W, C) matmul-adjacent values, so the add fuses into the
+        # proj_out epilogue. Adding after the spatial reshape instead makes
+        # XLA materialize a transposed 6-D copy+reshape+add chain
+        # (~25 ms/step at 320² in the op trace). Exact: fp add is
+        # shape-agnostic and both reshapes are pure dim merges/splits.
+        tokens = tokens + residual.reshape(b * t, hh * ww, c)
         out = tokens.reshape(b, t, hh, ww, c)
         if want_cache:
-            return out + residual, tuple(new_caches)
-        return out + residual
+            return out, tuple(new_caches)
+        return out
 
 
 class SpatialAttentionBlock(nn.Module):
@@ -676,17 +685,21 @@ class SpatialAttentionBlock(nn.Module):
         q = _split_heads(q, heads)
         k = _split_heads(k, heads)
         v = _split_heads(v, heads)
-        # Opt-in bf16-internal attention for the fp32 decode path: the
-        # analogue of the reference enabling xformers on the fp32 VAE
-        # (pipeline_upscale_a_video.py:672-673) — QK^T/PV in reduced
-        # precision with fp32 softmax/accumulation. At 320² latents this
-        # attention is ~2/3 of the decode FLOPs; bf16 MXU passes are ~3×
-        # cheaper than fp32 emulation.
+        # bf16-operand attention on the fp32 decode path (default): the TPU
+        # MXU truncates matmul operands to bf16 per pass at the default f32
+        # precision anyway (measured: flash f32 rel-err 4.6e-3 vs f64, flash
+        # bf16 5.1e-3 — same accuracy class; multi-pass f32 emulation is not
+        # available inside Mosaic kernels), so f32 q/k/v storage only adds
+        # HBM traffic, not accuracy. Softmax and accumulation stay f32 in
+        # both. This mirrors the reference enabling memory-efficient
+        # attention on its forced-fp32 VAE (pipeline_upscale_a_video.py:
+        # 672-673). UAV_VAE_ATTN_F32=1 restores f32 operands (same MXU
+        # precision, 2× operand traffic); probe: scripts/attn_precision.py.
         import os
 
         attn_dtype = q.dtype
-        if (os.environ.get("UAV_VAE_ATTN_BF16")
-                and q.dtype == jnp.float32):
+        if (q.dtype == jnp.float32
+                and not os.environ.get("UAV_VAE_ATTN_F32")):
             q, k, v = (a.astype(jnp.bfloat16) for a in (q, k, v))
         out = attention(q, k, v, scale=1.0 / np.sqrt(c / heads))
         out = _merge_heads(out).astype(attn_dtype)

@@ -20,6 +20,7 @@ OIHW→HWIO transpose.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional, Tuple
 
 import flax.linen as nn
@@ -80,6 +81,53 @@ class FusedGroupNorm(nn.Module):
                           self.param_dtype)
         return fused_group_norm(x, scale, bias, self.num_groups,
                                 eps=self.epsilon, act=self.act)
+
+
+class LeanGroupNorm(nn.Module):
+    """``nn.GroupNorm`` twin (same "scale"/"bias" params, same f32 stats
+    math) that never materializes an f32 copy of the activation.
+
+    flax's GroupNorm upcasts x to f32 once and feeds that tensor to the two
+    stat reduces AND the normalize — at 320² the upcast is a 0.8 GB HBM
+    write + reread (op trace: standalone `convert` ops at every
+    Transformer3D entry norm). Here the two reduces carry their own
+    f32 accumulation (XLA fuses the convert into the reduce) and the
+    normalize is a single bf16→bf16 elementwise pass with per-(sample,
+    channel) f32 a/b folded in, which XLA fuses into the consumer matmul.
+
+    Stats are per sample over ALL non-channel axes (torch GroupNorm
+    semantics, same as the flax module it replaces)."""
+
+    num_groups: int
+    epsilon: float = 1e-6
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        g = self.num_groups
+        gs = c // g
+        scale = self.param("scale", nn.initializers.ones_init(), (c,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,),
+                          self.param_dtype)
+        n = x.shape[0]
+        xg = x.reshape(n, -1, g, gs)
+        # Two one-pass reduces with f32 accumulation; mean/var algebra
+        # matches flax _compute_stats (var = E[x²] − E[x]²).
+        mean = jnp.mean(xg, axis=(1, 3), dtype=jnp.float32)          # (n, g)
+        m2 = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=(1, 3))
+        var = m2 - jnp.square(mean)
+        rstd = jax.lax.rsqrt(var + self.epsilon)                     # (n, g)
+        s32 = scale.astype(jnp.float32).reshape(g, gs)
+        b32 = bias.astype(jnp.float32).reshape(g, gs)
+        a = (rstd[:, :, None] * s32[None]).reshape(n, 1, c)          # (n,1,c)
+        off = (b32[None] - mean[:, :, None] * rstd[:, :, None] * s32[None]
+               ).reshape(n, 1, c)
+        flat = x.reshape(n, -1, c)
+        y = flat.astype(jnp.float32) * a + off
+        return y.astype(self.dtype or x.dtype).reshape(x.shape)
 
 
 class InflatedConv(nn.Module):
@@ -172,14 +220,86 @@ class TemporalConv(nn.Module):
         )(x)
 
 
+class _SubpixUpConv(nn.Module):
+    """3×3 SAME conv over a nearest-×2-upsampled input, computed WITHOUT
+    materializing the ×4-size intermediate (same "conv/kernel"+"conv/bias"
+    params as ``InflatedConv``'s inner ``nn.Conv``, so checkpoints are
+    unchanged).
+
+    Nearest ×2 duplicates each source pixel into a 2×2 block, so every
+    output pixel's 3×3 window only touches 2×2 DISTINCT sources; taps that
+    alias onto the same source fold into one coefficient (exact weight
+    algebra). Per output parity (pr, pc):
+
+        rows:  even → [K0, K1+K2] over sources (m-1, m)
+               odd  → [K0+K1, K2] over sources (m, m+1)
+        (cols identical), giving four 2×2 kernels run as ONE 2×2 conv with
+        4·C_out channels on the SMALL input, then a parity interleave.
+
+    vs conv-on-upsampled: 16·H·W·Ci·Co MACs instead of 36·H·W·Ci·Co
+    (2.25× fewer — the duplicated-pixel multiplies vanish) and the
+    (2H, 2W) input buffer is never written. Used for the hot ×2 path in
+    both the UNet and VAE-decoder upsamplers; kill switch
+    ``UAV_NO_SUBPIX_UP`` restores the naive route for A/B."""
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, naive: bool = False) -> jax.Array:
+        assert x.ndim == 5
+        b, t, h, w, c = x.shape
+        kernel, bias = _Conv3DParams(
+            features=self.features, kernel_size=(3, 3), use_bias=True,
+            kernel_init=nn.initializers.lecun_normal(),
+            bias_init=nn.initializers.zeros_init(),
+            param_dtype=self.param_dtype, name="conv",
+        )(c)
+        dt = self.dtype or x.dtype
+        flat = x.reshape(b * t, h, w, c).astype(dt)
+        if naive or os.environ.get("UAV_NO_SUBPIX_UP"):
+            up = jnp.broadcast_to(flat[:, :, None, :, None, :],
+                                  (b * t, h, 2, w, 2, c)
+                                  ).reshape(b * t, 2 * h, 2 * w, c)
+            y = jax.lax.conv_general_dilated(
+                up, kernel.astype(dt), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = y + bias.astype(dt)
+            return y.reshape(b, t, 2 * h, 2 * w, self.features)
+        k = kernel  # (3, 3, Ci, Co), param dtype (fp32) — fold exactly
+        r_even = jnp.stack([k[0], k[1] + k[2]], 0)       # (2, 3, Ci, Co)
+        r_odd = jnp.stack([k[0] + k[1], k[2]], 0)
+
+        def fold_cols(kr):
+            return (jnp.stack([kr[:, 0], kr[:, 1] + kr[:, 2]], 1),
+                    jnp.stack([kr[:, 0] + kr[:, 1], kr[:, 2]], 1))
+
+        ee, eo = fold_cols(r_even)
+        oe, oo = fold_cols(r_odd)
+        wbig = jnp.concatenate([ee, eo, oe, oo], -1)     # (2, 2, Ci, 4·Co)
+        xpad = jnp.pad(flat, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        y = jax.lax.conv_general_dilated(
+            xpad, wbig.astype(dt), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))  # (BT, H+1, W+1, 4Co)
+        o = self.features
+        parts = [y[:, 0:h, 0:w, 0:o], y[:, 0:h, 1:w + 1, o:2 * o],
+                 y[:, 1:h + 1, 0:w, 2 * o:3 * o],
+                 y[:, 1:h + 1, 1:w + 1, 3 * o:4 * o]]
+        z = jnp.stack(parts, axis=3).reshape(b * t, h, w, 2, 2, o)
+        z = z.transpose(0, 1, 3, 2, 4, 5).reshape(b * t, 2 * h, 2 * w, o)
+        z = z + bias.astype(dt)
+        return z.reshape(b, t, 2 * h, 2 * w, o)
+
+
 class Upsample3D(nn.Module):
     """Nearest ×2 spatial upsample + 3×3 conv (ref resnet.py:104-158).
 
     ``output_size`` (H, W) overrides the ×2 factor, matching the reference's
     upsample-size forcing for non-/8-divisible inputs (unet_video.py:433-443).
     bf16 is fine on TPU — the reference's fp32 cast (resnet.py:132-135) was a
-    CUDA kernel limitation we drop.
-    """
+    CUDA kernel limitation we drop. The exact-×2 + conv path runs as a
+    folded subpixel conv (see ``_SubpixUpConv``)."""
 
     channels: int
     use_conv: bool = True
@@ -193,6 +313,11 @@ class Upsample3D(nn.Module):
             nh, nw = h * 2, w * 2
         else:
             nh, nw = output_size
+        if (nh, nw) == (2 * h, 2 * w) and self.use_conv:
+            # fused ×2-upsample+conv; identical "conv/conv" param scope
+            return _SubpixUpConv(
+                features=self.channels, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="conv")(x)
         # nearest-neighbor: exact match to F.interpolate(mode="nearest")
         if (nh, nw) == (2 * h, 2 * w):
             # broadcast+reshape (out[2i]=out[2i+1]=in[i] ≡ floor(j/2) index):
