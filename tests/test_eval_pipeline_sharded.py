@@ -42,7 +42,12 @@ def modules():
     )
 
 
-def test_sharded_pipeline_matches_single(modules):
+def test_sharded_pipeline_matches_single(modules, monkeypatch):
+    # Pin f32 operand storage in the VAE mid attention: sharded-vs-
+    # single latent noise (~1e-6) can straddle a bf16 rounding boundary
+    # in the decode and amplify past the tolerance. These tests check
+    # SHARDING mechanics; operand storage has its own test/bound.
+    monkeypatch.setenv("UAV_VAE_ATTN_F32", "1")
     mesh = Mesh(np.asarray(jax.devices()[:8]), ("win",))
     img = jax.random.uniform(jax.random.PRNGKey(5), (1, 10, 8, 8, 3),
                              minval=-1, maxval=1)
@@ -63,7 +68,8 @@ def test_sharded_pipeline_matches_single(modules):
                                atol=5e-5, rtol=5e-5)
 
 
-def test_sharded_pipeline_with_propagation(modules):
+def test_sharded_pipeline_with_propagation(modules, monkeypatch):
+    monkeypatch.setenv("UAV_VAE_ATTN_F32", "1")  # see first test
     mesh = Mesh(np.asarray(jax.devices()[:4]), ("win",))
     img = jax.random.uniform(jax.random.PRNGKey(6), (1, 4, 8, 8, 3),
                              minval=-1, maxval=1)
@@ -86,11 +92,12 @@ def test_sharded_pipeline_with_propagation(modules):
                                atol=5e-5, rtol=5e-5)
 
 
-def test_sharded_pipeline_pab_matches_single_pab(modules):
+def test_sharded_pipeline_pab_matches_single_pab(modules, monkeypatch):
     """Drop-in sharded pipeline with PABConfig == single-chip pipeline with
     the same PABConfig (multi-chip PAB wired through _build_denoise)."""
     from upscale_a_video_tpu.pipeline.pipeline import PABConfig
 
+    monkeypatch.setenv("UAV_VAE_ATTN_F32", "1")  # see first test
     mesh = Mesh(np.asarray(jax.devices()[:8]), ("win",))
     img = jax.random.uniform(jax.random.PRNGKey(9), (1, 10, 8, 8, 3),
                              minval=-1, maxval=1)
@@ -108,8 +115,13 @@ def test_sharded_pipeline_pab_matches_single_pab(modules):
                                           decode_dtype=jnp.float32, pab=pab)
     got = sharded("p", img, num_inference_steps=3, guidance_scale=3.0,
                   noise_level=20, key=key)
+    # Window-sharded batching changes matmul reduction orders (~1e-6/step
+    # latent noise); PAB re-injects cached step-N deltas into step N+1, so
+    # the noise compounds across the 3 steps — observed floor ~1e-4 abs,
+    # ~8e-3 rel on 0.04% of pixels. A semantic break (wrong cache slot /
+    # stale kind) produces O(1e-1) on most pixels.
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               atol=5e-5, rtol=5e-5)
+                               atol=3e-4, rtol=1e-3)
 
     # PAB actually engaged (differs from the exact pipeline)
     exact = VideoUpscalePipeline(modules, dtype=jnp.float32,
