@@ -267,29 +267,32 @@ class _SubpixUpConv(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             y = y + bias.astype(dt)
             return y.reshape(b, t, 2 * h, 2 * w, self.features)
+        # Emit the fold as ONE transposed conv (lhs_dilation=2, 4×4 kernel)
+        # writing the interleaved output directly — no (H+1, W+1, 4·Co)
+        # intermediate and no stack/transpose round-trips. The earlier
+        # 2×2-conv + parity-interleave emission of the same algebra held ~3
+        # live copies of that intermediate; at the fp32 decoder's 640²→1280²
+        # stage that was ~15 GiB transient on a 15.75 GiB chip (the
+        # BENCH_r03 RESOURCE_EXHAUSTED) — and it was slower, too
+        # (scripts/ab_subpix.py: 49.9 ms vs 90.5 folded vs 80.0 naive fp32
+        # at that stage; 41.9 vs 71.2 vs 83.0 bf16 at the UNet's 160²→320²).
+        #
+        # Cross-correlation with lhs_dilation=2, pad (2, 2), per dimension:
+        #   out[i] = Σ_a d[i+a-2]·W4[a]  with  d[2j] = in[j]
+        #   i=2m   → a∈{0,2}: W4[0]=K0,    W4[2]=K1+K2   (sources m-1, m)
+        #   i=2m+1 → a∈{1,3}: W4[1]=K0+K1, W4[3]=K2      (sources m, m+1)
         k = kernel  # (3, 3, Ci, Co), param dtype (fp32) — fold exactly
-        r_even = jnp.stack([k[0], k[1] + k[2]], 0)       # (2, 3, Ci, Co)
-        r_odd = jnp.stack([k[0] + k[1], k[2]], 0)
 
-        def fold_cols(kr):
-            return (jnp.stack([kr[:, 0], kr[:, 1] + kr[:, 2]], 1),
-                    jnp.stack([kr[:, 0] + kr[:, 1], kr[:, 2]], 1))
+        def taps(kd):
+            return [kd[0], kd[0] + kd[1], kd[1] + kd[2], kd[2]]
 
-        ee, eo = fold_cols(r_even)
-        oe, oo = fold_cols(r_odd)
-        wbig = jnp.concatenate([ee, eo, oe, oo], -1)     # (2, 2, Ci, 4·Co)
-        xpad = jnp.pad(flat, ((0, 0), (1, 1), (1, 1), (0, 0)))
-        y = jax.lax.conv_general_dilated(
-            xpad, wbig.astype(dt), (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))  # (BT, H+1, W+1, 4Co)
-        o = self.features
-        parts = [y[:, 0:h, 0:w, 0:o], y[:, 0:h, 1:w + 1, o:2 * o],
-                 y[:, 1:h + 1, 0:w, 2 * o:3 * o],
-                 y[:, 1:h + 1, 1:w + 1, 3 * o:4 * o]]
-        z = jnp.stack(parts, axis=3).reshape(b * t, h, w, 2, 2, o)
-        z = z.transpose(0, 1, 3, 2, 4, 5).reshape(b * t, 2 * h, 2 * w, o)
+        k4 = jnp.stack([jnp.stack(taps(r), 0) for r in taps(k)], 0)
+        z = jax.lax.conv_general_dilated(
+            flat, k4.astype(dt), (1, 1), ((2, 2), (2, 2)),
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))  # (BT, 2H, 2W, Co)
         z = z + bias.astype(dt)
-        return z.reshape(b, t, 2 * h, 2 * w, o)
+        return z.reshape(b, t, 2 * h, 2 * w, self.features)
 
 
 class Upsample3D(nn.Module):
