@@ -27,5 +27,16 @@ multichip:
 bench:
 	$(PY) bench.py
 
+# bench-after-touch (docs/ROADMAP.md): ANY commit touching nn/, ops/,
+# models/vae.py, models/unet_video.py or pipeline/pipeline.py re-runs the
+# headline stage before the round ends and records the fps in ROADMAP.md.
+bench-headline:
+	timeout 2400 $(PY) bench.py --stage e2e 320 fp32 T32
+
+# compile-time peak-HBM gate for the flagship programs (real TPU required):
+# would have caught the round-3 RESOURCE_EXHAUSTED before it hit the driver
+hbm-gate:
+	timeout 1500 $(PY) scripts/hbm_gate.py
+
 native:
 	$(MAKE) -C native

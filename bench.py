@@ -175,8 +175,15 @@ def stage_e2e(size: int, pab: bool = False, fp32_decode: bool = False,
     out = run_once()
     dt = time.time() - t0
     assert out.shape == (1, frames, size * 4, size * 4, 3)
+    # "fp32 decode, bf16-operand attn": decode runs fp32 end-to-end except
+    # the decoder's mid attention q/k/v operand STORAGE, which defaults to
+    # bf16 (fp32 softmax/accum; UAV_VAE_ATTN_F32=1 restores f32 operands —
+    # docs/PARITY.md "Decode precision"). The label keeps the vs_baseline
+    # row self-describing.
+    attn_note = (", fp32-operand attn" if os.environ.get("UAV_VAE_ATTN_F32")
+                 else ", bf16-operand attn")
     note = "measured" + (", PAB" if pab else "") + \
-        (", fp32 decode" if fp32_decode else ", bf16 decode")
+        ((", fp32 decode" + attn_note) if fp32_decode else ", bf16 decode")
     return _result(size, frames / dt, note, t=frames)
 
 

@@ -404,6 +404,10 @@ class VideoUpscalePipeline:
                         progress_cb("denoise", i + 1, num_inference_steps)
                 return carry[0] if pab is not None else carry
 
+            # expose the per-step jitted program for AOT tooling (the
+            # compile-time peak-HBM gate lowers it without running —
+            # scripts/hbm_gate.py)
+            run_host._step_jit = step_jit
             return run_host
 
         def denoise(unet_params, latents, image_noised, prompt_embeds,
