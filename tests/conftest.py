@@ -17,4 +17,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compile cache: XLA compiles of the tiny-model scan/grad
+# programs dominate the suite's wall time on this 1-core host; repeat runs
+# on the same machine hit the cache and skip them. Deliberately NOT the
+# repo's committed .jax_cache (that one stays minimal — dryrun programs
+# only); override with UAV_TEST_CACHE.
+_cache = os.environ.get("UAV_TEST_CACHE", "/tmp/uav_test_jax_cache")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"

@@ -3,6 +3,12 @@
 - block-level: cached deltas reused exactly when flagged
 - pipeline: PAB with range=1 ≡ baseline; PAB with real ranges ≡ an explicit
   python loop threading the same cache through unet.apply
+
+Fast path keeps ONE pipeline-compile case (broadcast_matches_manual_loop);
+the other pipeline-compile variants are slow-marked — each distinct
+PABConfig compiles its own tiny-UNet scan program (~60-90 s on this 1-core
+host), which made this file alone exceed the fast suite's budget (VERDICT
+r3 weak #5).
 """
 
 import jax
@@ -78,6 +84,7 @@ class TestUnetCacheAPI:
 
 
 class TestPabPipeline:
+    @pytest.mark.slow
     def test_range1_equals_baseline(self, modules):
         img = jax.random.uniform(jax.random.PRNGKey(7), (1, 2, 8, 8, 3),
                                  minval=-1, maxval=1)
@@ -127,6 +134,7 @@ class TestPabPipeline:
         np.testing.assert_allclose(np.asarray(got_lat), np.asarray(lat),
                                    atol=5e-4, rtol=1e-3)
 
+    @pytest.mark.slow
     def test_skip_levels_matches_manual_loop(self, modules):
         """Levels named in skip_levels recompute every step; the rest cache.
         Pipeline must equal a manual loop threading the same skipped cache."""
@@ -184,6 +192,7 @@ class TestPabPipeline:
 
 
 class TestKindRestrictedCache:
+    @pytest.mark.slow
     def test_cross_only_cache_structure_and_equivalence(self, modules):
         """kinds=("cross",): only attn1(cross-levels)/attn2 deltas ride the
         cache; spatial/temporal recompute every step. Pipeline result equals
@@ -231,6 +240,7 @@ class TestKindRestrictedCache:
         np.testing.assert_allclose(np.asarray(got_lat), np.asarray(lat),
                                    atol=5e-4, rtol=1e-3)
 
+    @pytest.mark.slow
     def test_cross_only_range1_equals_baseline(self, modules):
         """kinds=("cross",) with every range=1 (always recompute) must be
         bit-equal to the no-PAB pipeline."""

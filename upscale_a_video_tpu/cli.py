@@ -53,6 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--random_weights", action="store_true", default=False,
                    help="random-init models (smoke testing without weights)")
     p.add_argument("--seed", type=int, default=10)
+    p.add_argument("--max_frames", type=int, default=0,
+                   help="process only the first N frames of each clip "
+                        "(0 = all; smoke runs / CI)")
+    p.add_argument("--max_size", type=int, default=0,
+                   help="area-downsample inputs whose long side exceeds this "
+                        "(0 = only the reference's >=1280^2 rule applies)")
     p.add_argument("--decode_fp32", action="store_true", default=False,
                    help="decode VAE in fp32 (reference parity); default bf16")
     p.add_argument("--decode_attn", type=str, default="bf16",
@@ -83,8 +89,11 @@ def run(args) -> None:
     if getattr(args, "decode_attn", "bf16") == "fp32":
         # trace-time gate read by nn.attention.SpatialAttentionBlock
         os.environ["UAV_VAE_ATTN_F32"] = "1"
+    # --random_weights still honors an existing model_dir for CONFIGS (tiny
+    # smoke bundles carry configs but no weights); weights stay random-init
+    model_dir = args.model_dir if os.path.isdir(args.model_dir) else None
     pipeline = load_pipeline(
-        None if args.random_weights else args.model_dir,
+        model_dir,
         use_video_vae=args.use_video_vae,
         decode_dtype=decode_dtype,
         random_init=args.random_weights,
@@ -124,6 +133,8 @@ def run(args) -> None:
 
     for vi, video_path in enumerate(video_list):
         frames_u8, fps, name = pending.result()
+        if args.max_frames:
+            frames_u8 = frames_u8[:args.max_frames]
         if vi + 1 < len(video_list):
             pending = decode_pool.submit(video_io.read_video, video_list[vi + 1])
         tag = f"[{vi + 1}/{len(video_list)}]"
@@ -142,9 +153,25 @@ def run(args) -> None:
                 resize_2d(jnp.asarray(frames), (h // 4, w // 4), "area")
             )
             h, w = frames.shape[1:3]
+        if args.max_size and max(h, w) > args.max_size:
+            # smoke-run knob: area-downsample so the long side == max_size
+            # (same resample as the ref's >=1280^2 rule, arbitrary cap)
+            s = args.max_size / max(h, w)
+            nh, nw = max(8, int(h * s)) // 8 * 8, max(8, int(w * s)) // 8 * 8
+            frames = np.asarray(resize_2d(jnp.asarray(frames), (nh, nw), "area"))
+            h, w = frames.shape[1:3]
 
         video = jnp.asarray(frames)[None]  # (1, T, H, W, 3)
         t = video.shape[1]
+
+        # long clips: one device dispatch per denoise step (the T>8 window
+        # plan in a single 30-step scan dispatch exceeds per-dispatch
+        # execution watchdogs, and the all-windows-batched UNet call at
+        # real sizes exceeds one chip's HBM — bench.py uses the same mode
+        # for the T=32 headline). Short clips keep the one-program scan.
+        if t > 8 and hasattr(pipeline, "step_mode"):
+            pipeline.step_mode = "host"
+            pipeline.window_group = 1
 
         flows_bi = None
         if raft is not None:

@@ -46,13 +46,16 @@ class HFTokenizerAdapter:
     """CLIPTokenizer → int32 (B, 77) ids (ref _encode_prompt padding scheme,
     pipeline_upscale_a_video.py:231-240)."""
 
-    def __init__(self, tokenizer_dir: Optional[str] = None):
+    def __init__(self, tokenizer_dir: Optional[str] = None,
+                 local_files_only: bool = False):
         from transformers import CLIPTokenizer
 
         if tokenizer_dir and os.path.isdir(tokenizer_dir):
             self.tok = CLIPTokenizer.from_pretrained(tokenizer_dir)
         else:
-            self.tok = CLIPTokenizer.from_pretrained("openai/clip-vit-base-patch32")
+            self.tok = CLIPTokenizer.from_pretrained(
+                "openai/clip-vit-base-patch32",
+                local_files_only=local_files_only)
 
     def __call__(self, prompts):
         import numpy as np
@@ -73,9 +76,13 @@ class FallbackTokenizer:
     assets fail loudly instead of silently degrading.
     """
 
-    def __init__(self):
+    def __init__(self, vocab_size: int = 49408):
         import warnings
 
+        # ids must land inside the TEXT MODEL's vocab: tiny smoke configs
+        # shrink vocab_size, and out-of-range ids turn into NaN embeddings
+        # (jnp.take fills OOB gathers with NaN outside jit)
+        self.vocab_size = vocab_size
         warnings.warn(
             "FallbackTokenizer in use: tokenizer assets are missing, prompt "
             "conditioning will be MEANINGLESS. Provide a tokenizer dir "
@@ -91,15 +98,17 @@ class FallbackTokenizer:
         logging.getLogger(__name__).warning(
             "FallbackTokenizer encoding %d prompt(s) with byte-hash ids — "
             "NOT real CLIP tokens", len(prompts))
-        ids = np.full((len(prompts), 77), 49407, dtype=np.int32)
-        ids[:, 0] = 49406
+        v = self.vocab_size
+        ids = np.full((len(prompts), 77), min(49407, v - 1), dtype=np.int32)
+        ids[:, 0] = min(49406, v - 2)
         for i, p in enumerate(prompts):
             for j, ch in enumerate(p.encode()[:60]):
-                ids[i, 1 + j] = ch % 49000
+                ids[i, 1 + j] = ch % min(49000, v - 2)
         return ids
 
 
-def _resolve_tokenizer(tokenizer_dir: Optional[str], allow_fallback: bool):
+def _resolve_tokenizer(tokenizer_dir: Optional[str], allow_fallback: bool,
+                       vocab_size: int = 49408):
     """Tokenizer resolution order: in-repo CLIP BPE from the bundle's
     ``tokenizer/`` assets → HF CLIPTokenizer (hub name, needs network/cache)
     → FallbackTokenizer only when explicitly allowed."""
@@ -116,11 +125,19 @@ def _resolve_tokenizer(tokenizer_dir: Optional[str], allow_fallback: bool):
             pass
     else:
         try:
-            return HFTokenizerAdapter(None)  # hub fetch (cache/network)
+            return HFTokenizerAdapter(None, local_files_only=True)  # HF cache
         except Exception:
             pass
+        if not allow_fallback:
+            # network fetch ONLY as a last resort on real runs: on an
+            # air-gapped host transformers retries with backoff for minutes
+            # per missing file, which must never gate fallback-eligible runs
+            try:
+                return HFTokenizerAdapter(None)
+            except Exception:
+                pass
     if allow_fallback:
-        return FallbackTokenizer()
+        return FallbackTokenizer(vocab_size)
     raise FileNotFoundError(
         "no CLIP tokenizer assets found: provide <model_dir>/tokenizer/ with "
         "vocab.json+merges.txt (released bundle layout) or pass "
@@ -228,7 +245,8 @@ def load_pipeline(
     )
 
     tokenizer = _resolve_tokenizer(
-        str(root / "tokenizer") if root else None, allow_fallback_tokenizer)
+        str(root / "tokenizer") if root else None, allow_fallback_tokenizer,
+        vocab_size=text_cfg.vocab_size)
 
     modules = PipelineModules(
         unet=unet, unet_params=unet_params,
