@@ -1,26 +1,29 @@
-"""PAB quality with a NON-RANDOM weight surrogate (VERDICT r3 item 7).
+"""PAB quality bound on a NON-RANDOM surrogate (VERDICT r3 item 7).
 
-The round-3 PAB quality bound (22.8 dB PSNR vs exact at +3.5% speed,
-BENCH_LOCAL round3.pab_quality_256) was measured with RANDOM weights — a
-pessimistic proxy, since PAB's premise is that *trained* attention maps
-drift slowly across denoise steps while random attention is chaotic. The
-released checkpoints don't exist in this environment, so this script builds
-the cheapest meaningful surrogate:
+Round 3 measured PAB's stale-delta cost with random-init weights: 22.8 dB
+PSNR vs exact at +3.5% e2e. Random attention is a pessimistic proxy — PAB's
+premise (CV-filtered attention deltas drift slowly across adjacent denoise
+steps, PAPERS.md: Pyramid Attention Broadcast) only holds for *trained*
+attention. The released checkpoints are not in this environment, so this
+script manufactures the cheapest meaningful stand-in:
 
-  1. train a small UNet for N steps on synthetic structured video (moving
-     sinusoid patterns, denoising-MSE objective, ALL params trainable);
-  2. run the SAME 30-step CFG denoise twice (PAB kinds=cross vs exact) with
-     the trained weights and with the random init, identical seeds;
-  3. report latent-space PSNR(PAB, exact) for both.
+1. build the FULL reference-config UNet (all params trainable, not just the
+   temporal mask) and finetune it for a few hundred steps on smooth
+   synthetic video latents with the real epsilon-prediction upscaler
+   objective (training/train_unet.py, ref unet_video.py:577-601 regime);
+2. run the full 256^2 T=8 pipeline twice with those weights — PAB off vs
+   PAB kinds=cross — same seed, and report fps + PSNR exactly like
+   scripts/pab_quality.py.
 
-If trained ≫ random, the random-weights bound materially understates PAB
-and the feature stays available-but-off-headline; if trained ≈ random, PAB
-freezes until real weights exist.
+A few hundred steps does not make a good denoiser, but it does make the
+attention maps input-dominated instead of chaotic, which is the property PAB
+exploits. The resulting bound is labeled "surrogate-trained"; the honest
+bound for release weights still requires the release weights.
 
-Usage: python scripts/pab_surrogate.py [train_steps]     (default 400)
+Usage: python scripts/pab_surrogate.py [train_steps] [size] [frames]
+       (defaults 300 256 8)
 Prints one JSON line.
 """
-
 import json
 import os
 import sys
@@ -30,160 +33,170 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("UAV_TEST_CACHE", "/tmp/uav_test_jax_cache"))
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 import jax.numpy as jnp
 import numpy as np
-import optax
 
-from upscale_a_video_tpu.config import UNetVideoConfig
-from upscale_a_video_tpu.models import UNetVideoModel
-from upscale_a_video_tpu.pipeline.pipeline import PABConfig
-from upscale_a_video_tpu.sampling import (DDIMScheduler, DDIMSchedulerConfig,
-                                          DDPMScheduler)
-from upscale_a_video_tpu.training import make_train_step
-from upscale_a_video_tpu.training.train_unet import init_optimizer
-
-TRAIN_STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 400
-B, T, H, W = 4, 8, 32, 32
+TRAIN_STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+SIZE = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+FRAMES = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 STEPS = 30
-CFG_SCALE = 6.0
-
-cfg = UNetVideoConfig(block_out_channels=(32, 64, 64, 128),
-                      attention_head_dim=8, norm_num_groups=8,
-                      cross_attention_dim=64, layers_per_block=1)
-model = UNetVideoModel(cfg, dtype=jnp.float32)
-sched = DDIMScheduler(DDIMSchedulerConfig(beta_schedule="scaled_linear"))
-lr_sched = DDPMScheduler()
+LAT = 32  # training latent side; small keeps fwd+bwd ~sub-second on-chip
 
 
-def synthetic_batch(key):
-    """Moving sinusoid patterns: structured, temporally coherent video."""
-    k1, k2, k3 = jax.random.split(key, 3)
-    fx = jax.random.uniform(k1, (B, 1, 1, 1, 4), minval=0.5, maxval=3.0)
-    fy = jax.random.uniform(k2, (B, 1, 1, 1, 4), minval=0.5, maxval=3.0)
-    vel = jax.random.uniform(k3, (B, 1, 1, 1, 4), minval=-2.0, maxval=2.0)
-    t = jnp.arange(T).reshape(1, T, 1, 1, 1) / T
-    y = jnp.arange(H).reshape(1, 1, H, 1, 1) / H
-    x = jnp.arange(W).reshape(1, 1, 1, W, 1) / W
-    lat = jnp.sin(2 * jnp.pi * (fx * x + fy * y + vel * t))
-    return {
-        "latents": lat.astype(jnp.float32),
-        "low_res": lat[..., :3].astype(jnp.float32),
-        "text_embeds": jnp.tile(
-            jax.random.normal(jax.random.PRNGKey(99), (1, 5, 64)), (B, 1, 1)),
-    }
+def smooth_video(key, shape, dtype=jnp.float32):
+    """Low-frequency moving field: upsampled coarse noise + temporal drift.
 
-
-def denoise(params, pab):
-    """30-step CFG denoise on one held-out clip; returns final latents."""
-    key = jax.random.PRNGKey(123)
-    klat, kimg = jax.random.split(key)
-    clip = synthetic_batch(jax.random.PRNGKey(777))
-    imgn = jnp.concatenate([clip["low_res"][:1]] * 2)
-    emb = jnp.concatenate([jnp.zeros((1, 5, 64)), clip["text_embeds"][:1]])
-    lvl = jnp.full((2,), 20, jnp.int32)
-    lat = jax.random.normal(klat, (1, T, H, W, 4), jnp.float32)
-
-    if pab is None:
-        @jax.jit
-        def step(lat, tt):
-            pred = model.apply(params, jnp.concatenate([lat, lat]), tt,
-                               imgn, emb, lvl).astype(jnp.float32)
-            u, c = jnp.split(pred, 2)
-            pred = u + CFG_SCALE * (c - u)
-            x0 = sched.step_v0(pred, tt, lat)
-            return sched.step_vt(x0, pred, tt, lat, STEPS)
-
-        for tt in sched.timesteps(STEPS):
-            lat = step(lat, jnp.int32(tt))
-        return np.asarray(lat)
-
-    flags = pab.use_cached_flags(STEPS)
-    cache = model.make_pab_collect_cache(
-        kinds=(None if set(pab.kinds) == {"spatial", "cross", "temporal"}
-               else pab.kinds))
-    shapes = jax.eval_shape(
-        lambda: model.apply(params, jnp.zeros((2, T, H, W, 4)), jnp.int32(0),
-                            imgn, emb, lvl, attn_cache=cache,
-                            use_flags={"cross": False, "spatial": False,
-                                       "temporal": False})[1])
-    cache = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-
-    @jax.jit
-    def step(lat, cache, tt, f_cross, f_spatial, f_temporal):
-        pred, cache = model.apply(
-            params, jnp.concatenate([lat, lat]), tt, imgn, emb, lvl,
-            attn_cache=cache,
-            use_flags={"cross": f_cross, "spatial": f_spatial,
-                       "temporal": f_temporal})
-        pred = pred.astype(jnp.float32)
-        u, c = jnp.split(pred, 2)
-        pred = u + CFG_SCALE * (c - u)
-        x0 = sched.step_v0(pred, tt, lat)
-        return sched.step_vt(x0, pred, tt, lat, STEPS), cache
-
-    for i, tt in enumerate(sched.timesteps(STEPS)):
-        lat, cache = step(lat, cache, jnp.int32(tt),
-                          bool(flags["cross"][i]), bool(flags["spatial"][i]),
-                          bool(flags["temporal"][i]))
-    return np.asarray(lat)
-
-
-def psnr(a, b):
-    rng = float(a.max() - a.min()) or 1.0
-    mse = float(np.mean((a - b) ** 2))
-    return 10 * np.log10(rng * rng / mse) if mse else float("inf")
-
-
-def pab_vs_exact(params):
-    exact = denoise(params, None)
-    approx = denoise(params, PABConfig(kinds=("cross",)))
-    return psnr(exact, approx), float(np.mean(np.abs(exact - approx)))
+    Gives the denoiser structured targets (and the conditioning branch
+    structured inputs) so attention locks onto content instead of noise.
+    """
+    b, t, h, w, c = shape
+    k1, k2 = jax.random.split(key)
+    coarse = jax.random.normal(k1, (b, t, h // 8, w // 8, c), dtype)
+    fine = jax.image.resize(coarse, shape, "linear")
+    # temporal smoothing: EMA along t so adjacent frames correlate
+    def ema(carry, x):
+        y = 0.8 * carry + 0.2 * x
+        return y, y
+    _, sm = jax.lax.scan(ema, fine[:, 0], jnp.moveaxis(fine, 1, 0))
+    out = jnp.moveaxis(sm, 0, 1)
+    return jnp.tanh(out * (1.0 + 0.1 * jax.random.normal(k2, (), dtype)))
 
 
 def main():
-    params0 = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 2, H, W, 4)), 0,
-        jnp.zeros((1, 2, H, W, 3)), jnp.zeros((1, 5, 64)), 0)
+    import optax
+
+    from upscale_a_video_tpu.config import UNetVideoConfig, VaeConfig
+    from upscale_a_video_tpu.models import AutoencoderKLVideo, UNetVideoModel
+    from upscale_a_video_tpu.models.clip_text import (CLIPTextConfig,
+                                                      CLIPTextModel)
+    from upscale_a_video_tpu.pipeline.pipeline import (PABConfig,
+                                                       PipelineModules,
+                                                       VideoUpscalePipeline)
+    from upscale_a_video_tpu.sampling import (DDIMScheduler,
+                                              DDIMSchedulerConfig,
+                                              DDPMScheduler)
+    from upscale_a_video_tpu.training.train_unet import (init_optimizer,
+                                                         make_train_step)
+    from upscale_a_video_tpu.utils.param_init import fast_init
+
+    unet_cfg = UNetVideoConfig.from_json(
+        "/root/reference/configs/unet_video_config.json")
+    vae_cfg = VaeConfig.from_json("/root/reference/configs/vae_3d_config.json")
+    unet = UNetVideoModel(unet_cfg, dtype=jnp.bfloat16)
+    vae = AutoencoderKLVideo(vae_cfg, dtype=jnp.bfloat16)
+    clip = CLIPTextModel(CLIPTextConfig(), dtype=jnp.bfloat16)
+
+    unet_params = fast_init(unet, jnp.zeros((1, 2, 32, 32, 4), jnp.bfloat16),
+                            0, jnp.zeros((1, 2, 32, 32, 3), jnp.bfloat16),
+                            jnp.zeros((1, 77, 1024), jnp.bfloat16), 0,
+                            zeros=False)
+    vae_params = fast_init(vae, jnp.zeros((1, 1, 32, 32, 3), jnp.bfloat16),
+                           seed=1, zeros=False)
+    clip_params = fast_init(clip, jnp.zeros((1, 77), dtype=jnp.int32), seed=2,
+                            zeros=False)
+
+    # ---- surrogate finetune: ALL params trainable (PAB caches cross/spatial
+    # attention too, which the reference's temporal-only mask would freeze) --
+    sched = DDIMScheduler(DDIMSchedulerConfig(beta_schedule="scaled_linear"))
+    lr_sched = DDPMScheduler()
+    opt = optax.adam(2e-5)  # no weight decay: short horizon, keep it stable
+    train_step = make_train_step(unet, sched, lr_sched, optimizer=opt,
+                                 freeze_non_temporal=False)
+    opt_state = init_optimizer(unet_params, optimizer=opt,
+                               freeze_non_temporal=False)
+
+    key = jax.random.PRNGKey(42)
+    k_emb, key = jax.random.split(key)
+    text_embeds = 0.02 * jax.random.normal(k_emb, (1, 77, 1024), jnp.bfloat16)
 
     t0 = time.time()
-    psnr_rand, mad_rand = pab_vs_exact(params0)
-    print(f"random-init PSNR(PAB,exact)={psnr_rand:.1f} dB "
-          f"[{time.time() - t0:.0f}s]", file=sys.stderr)
-
-    opt = optax.adamw(2e-4, weight_decay=1e-2)
-    train = make_train_step(model, sched, lr_sched, opt,
-                            freeze_non_temporal=False, donate=True)
-    params, ostate = params0, init_optimizer(params0, opt,
-                                             freeze_non_temporal=False)
-    key = jax.random.PRNGKey(1)
     loss0 = lossN = None
-    t0 = time.time()
+    params = unet_params
     for i in range(TRAIN_STEPS):
-        key, bkey, skey = jax.random.split(key, 3)
-        params, ostate, loss = train(params, ostate, synthetic_batch(bkey),
-                                     skey)
+        key, k_b, k_s = jax.random.split(key, 3)
+        k_lat, k_lr = jax.random.split(k_b)
+        batch = {
+            "latents": smooth_video(k_lat, (1, FRAMES, LAT, LAT, 4)),
+            "low_res": smooth_video(k_lr, (1, FRAMES, LAT, LAT, 3)),
+            "text_embeds": text_embeds,
+        }
+        params, opt_state, loss = train_step(params, opt_state, batch, k_s)
         if i == 0:
             loss0 = float(loss)
-        if i % 100 == 0:
-            print(f"step {i}: loss {float(loss):.4f}", file=sys.stderr)
-    lossN = float(loss)
-    print(f"trained {TRAIN_STEPS} steps in {time.time() - t0:.0f}s",
-          file=sys.stderr)
+            print(f"  step 0 loss {loss0:.4f} "
+                  f"(compile {time.time() - t0:.0f}s)", file=sys.stderr)
+        elif i % 50 == 0 or i == TRAIN_STEPS - 1:
+            lossN = float(loss)
+            print(f"  step {i} loss {lossN:.4f}", file=sys.stderr)
+    del opt_state
+    train_s = time.time() - t0
 
-    psnr_tr, mad_tr = pab_vs_exact(params)
+    # ---- PAB off vs on with the surrogate-trained UNet --------------------
+    class FixedTokenizer:
+        def __call__(self, prompts):
+            ids = np.full((len(prompts), 77), 49407, dtype=np.int32)
+            ids[:, 0] = 49406
+            ids[:, 1] = 1000
+            return ids
+
+    def build(pab):
+        modules = PipelineModules(
+            unet=unet, unet_params=params, vae=vae, vae_params=vae_params,
+            text_encoder=clip, text_params=clip_params,
+            tokenizer=FixedTokenizer(),
+            scheduler=DDIMScheduler(
+                DDIMSchedulerConfig(beta_schedule="scaled_linear")),
+            low_res_scheduler=DDPMScheduler(),
+        )
+        return VideoUpscalePipeline(
+            modules, dtype=jnp.bfloat16, decode_dtype=jnp.bfloat16,
+            pab=PABConfig(kinds=("cross",)) if pab else None)
+
+    def run(pipe):
+        def once():
+            out = pipe("bench", img, num_inference_steps=STEPS,
+                       guidance_scale=6.0, noise_level=120,
+                       key=jax.random.PRNGKey(10))
+            np.asarray(out[0, 0, 0, 0])
+            return out
+
+        t0 = time.time()
+        out = once()
+        print(f"  compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
+        t0 = time.time()
+        out = once()
+        dt = time.time() - t0
+        return np.asarray(out, np.float32), FRAMES / dt
+
+    img = jax.random.uniform(jax.random.PRNGKey(1),
+                             (1, FRAMES, SIZE, SIZE, 3), jnp.float32, -1, 1)
+    print("[pab off]", file=sys.stderr)
+    ref, fps_off = run(build(pab=False))
+    print("[pab on: kinds=cross]", file=sys.stderr)
+    out, fps_on = run(build(pab=True))
+
+    diff = out - ref
+    mse = float(np.mean(diff ** 2))
+    psnr = float(10 * np.log10(4.0 / mse)) if mse > 0 else float("inf")
     print(json.dumps({
-        "config": f"surrogate UNet {cfg.block_out_channels}, {T}x{H}x{W}, "
-                  f"{STEPS} steps CFG, PAB kinds=cross",
+        "config": f"{SIZE}x{SIZE} T={FRAMES} {STEPS} steps CFG, PAB "
+                  f"kinds=cross vs off, SURROGATE-TRAINED weights "
+                  f"({TRAIN_STEPS} steps, all-param eps-MSE on smooth "
+                  f"synthetic video), seed 10",
         "train_steps": TRAIN_STEPS,
-        "loss_first": round(loss0, 4), "loss_last": round(lossN, 4),
-        "psnr_random_init_db": round(psnr_rand, 2),
-        "psnr_trained_db": round(psnr_tr, 2),
-        "mean_abs_delta_random": round(mad_rand, 5),
-        "mean_abs_delta_trained": round(mad_tr, 5),
+        "train_loss_first": loss0,
+        "train_loss_last": lossN,
+        "train_wall_s": round(train_s, 1),
+        "fps_off": round(fps_off, 4),
+        "fps_on": round(fps_on, 4),
+        "speedup": round(fps_on / fps_off, 4),
+        "psnr_on_vs_off_db": round(psnr, 2),
+        "mean_abs_delta": round(float(np.mean(np.abs(diff))), 6),
+        "max_abs_delta": round(float(np.max(np.abs(diff))), 4),
+        "output_range": [float(ref.min()), float(ref.max())],
     }))
 
 

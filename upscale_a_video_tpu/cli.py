@@ -77,6 +77,19 @@ def run(args) -> None:
     import jax
     import jax.numpy as jnp
 
+    # Persistent compile cache: the CLI compiles one program per tile/window
+    # geometry; without this every invocation recompiles through the (flaky,
+    # slow) remote-compile path. Same cache dir as bench.py so demo runs
+    # reuse the bench stages' programs. Opt out with UAV_NO_COMPILE_CACHE=1.
+    if not os.environ.get("UAV_NO_COMPILE_CACHE"):
+        cache = os.environ.get(
+            "UAV_COMPILE_CACHE",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache"))
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
     from .models.raft import load_raft, compute_bidirectional_flows
     from .ops.resize import resize_2d
     from .pipeline.color import adain_color_fix, wavelet_color_fix
