@@ -33,13 +33,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.environ.get(
+    "UAV_COMPILE_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 import jax.numpy as jnp
 import numpy as np
 
 TRAIN_STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+assert TRAIN_STEPS >= 1, "surrogate needs at least one train step"
 SIZE = int(sys.argv[2]) if len(sys.argv) > 2 else 256
 FRAMES = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 STEPS = 30
@@ -108,9 +112,23 @@ def main():
     opt_state = init_optimizer(unet_params, optimizer=opt,
                                freeze_non_temporal=False)
 
+    # Train on the SAME conditioning the eval sees (advisor r4 medium):
+    # PAB kinds=('cross',) caches exactly the cross-attention deltas, so the
+    # slow-drift property must be established on the embeddings the cached
+    # attention actually attends to — the CLIP-encoded FixedTokenizer ids —
+    # not on an unrelated random embedding.
+    class FixedTokenizer:
+        def __call__(self, prompts):
+            ids = np.full((len(prompts), 77), 49407, dtype=np.int32)
+            ids[:, 0] = 49406
+            ids[:, 1] = 1000
+            return ids
+
+    eval_ids = jnp.asarray(FixedTokenizer()(["bench"]))
+    text_embeds = jnp.asarray(
+        clip.apply(clip_params, eval_ids), jnp.bfloat16)
+
     key = jax.random.PRNGKey(42)
-    k_emb, key = jax.random.split(key)
-    text_embeds = 0.02 * jax.random.normal(k_emb, (1, 77, 1024), jnp.bfloat16)
 
     t0 = time.time()
     loss0 = lossN = None
@@ -124,24 +142,17 @@ def main():
             "text_embeds": text_embeds,
         }
         params, opt_state, loss = train_step(params, opt_state, batch, k_s)
+        lossN = float(loss)
         if i == 0:
-            loss0 = float(loss)
+            loss0 = lossN
             print(f"  step 0 loss {loss0:.4f} "
                   f"(compile {time.time() - t0:.0f}s)", file=sys.stderr)
         elif i % 50 == 0 or i == TRAIN_STEPS - 1:
-            lossN = float(loss)
             print(f"  step {i} loss {lossN:.4f}", file=sys.stderr)
     del opt_state
     train_s = time.time() - t0
 
     # ---- PAB off vs on with the surrogate-trained UNet --------------------
-    class FixedTokenizer:
-        def __call__(self, prompts):
-            ids = np.full((len(prompts), 77), 49407, dtype=np.int32)
-            ids[:, 0] = 49406
-            ids[:, 1] = 1000
-            return ids
-
     def build(pab):
         modules = PipelineModules(
             unet=unet, unet_params=params, vae=vae, vae_params=vae_params,
@@ -185,7 +196,8 @@ def main():
         "config": f"{SIZE}x{SIZE} T={FRAMES} {STEPS} steps CFG, PAB "
                   f"kinds=cross vs off, SURROGATE-TRAINED weights "
                   f"({TRAIN_STEPS} steps, all-param eps-MSE on smooth "
-                  f"synthetic video), seed 10",
+                  f"synthetic video, conditioned on the SAME CLIP-encoded "
+                  f"FixedTokenizer embedding the eval uses), seed 10",
         "train_steps": TRAIN_STEPS,
         "train_loss_first": loss0,
         "train_loss_last": lossN,

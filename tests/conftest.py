@@ -25,6 +25,8 @@ jax.config.update("jax_enable_x64", False)
 _cache = os.environ.get("UAV_TEST_CACHE", "/tmp/uav_test_jax_cache")
 os.makedirs(_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+# Cache aggressively: the fast suite's wall time is dominated by hundreds of
+# 1-5 s tiny-program compiles that a 5 s threshold would re-do every run.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"

@@ -49,3 +49,29 @@ def test_cli_end_to_end(tiny_video, tmp_path, monkeypatch):
     assert len(vids) == 1
     frames, _, _ = video_io.read_video(os.path.join(out_dir, "video", vids[0]))
     assert frames.shape[1] == 128  # 32 × 4
+
+
+def test_compile_cache_dir_resolution(tmp_path, monkeypatch):
+    from upscale_a_video_tpu import cli
+
+    # Opt-out only for truthy values; "" and "0" keep the cache ON.
+    assert cli.resolve_compile_cache_dir({"UAV_NO_COMPILE_CACHE": "1"}) is None
+    override = str(tmp_path / "cache")
+    for keep_on in ("", "0"):
+        got = cli.resolve_compile_cache_dir(
+            {"UAV_NO_COMPILE_CACHE": keep_on, "UAV_COMPILE_CACHE": override})
+        assert got == override and os.path.isdir(override)
+
+    # Unwritable target falls back to the per-user cache dir.
+    ro = tmp_path / "ro"
+    ro.mkdir()
+    ro.chmod(0o555)
+    fake_home = tmp_path / "home"
+    monkeypatch.setenv("HOME", str(fake_home))
+    got = cli.resolve_compile_cache_dir({"UAV_COMPILE_CACHE": str(ro)})
+    if os.geteuid() == 0:  # root ignores mode bits; fallback can't trigger
+        assert got == str(ro)
+    else:
+        assert got == os.path.join(
+            str(fake_home), ".cache", "upscale_a_video_tpu", "jax_cache")
+        assert os.path.isdir(got)

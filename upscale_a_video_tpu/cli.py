@@ -73,6 +73,34 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def resolve_compile_cache_dir(environ=None) -> Optional[str]:
+    """Pick the persistent compile-cache dir, or None when opted out.
+
+    UAV_NO_COMPILE_CACHE=1 opts out ("" and "0" keep the cache on);
+    UAV_COMPILE_CACHE overrides the location. Default is the repo-checkout
+    `.jax_cache` next to the package; for a site-packages install that dir
+    is unwritable, so fall back to a per-user cache under ~/.cache.
+    """
+    env = os.environ if environ is None else environ
+    if env.get("UAV_NO_COMPILE_CACHE", "") not in ("", "0"):
+        return None
+    cache = env.get(
+        "UAV_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"))
+    try:
+        os.makedirs(cache, exist_ok=True)
+        writable = os.access(cache, os.W_OK)
+    except OSError:
+        writable = False
+    if not writable:
+        cache = os.path.join(
+            os.path.expanduser("~"), ".cache", "upscale_a_video_tpu",
+            "jax_cache")
+        os.makedirs(cache, exist_ok=True)
+    return cache
+
+
 def run(args) -> None:
     import jax
     import jax.numpy as jnp
@@ -80,13 +108,9 @@ def run(args) -> None:
     # Persistent compile cache: the CLI compiles one program per tile/window
     # geometry; without this every invocation recompiles through the (flaky,
     # slow) remote-compile path. Same cache dir as bench.py so demo runs
-    # reuse the bench stages' programs. Opt out with UAV_NO_COMPILE_CACHE=1.
-    if not os.environ.get("UAV_NO_COMPILE_CACHE"):
-        cache = os.environ.get(
-            "UAV_COMPILE_CACHE",
-            os.path.join(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), ".jax_cache"))
-        os.makedirs(cache, exist_ok=True)
+    # reuse the bench stages' programs.
+    cache = resolve_compile_cache_dir()
+    if cache is not None:
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
