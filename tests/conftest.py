@@ -18,11 +18,15 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 # Persistent compile cache: XLA compiles of the tiny-model scan/grad
-# programs dominate the suite's wall time on this 1-core host; repeat runs
-# on the same machine hit the cache and skip them. Deliberately NOT the
-# repo's committed .jax_cache (that one stays minimal — dryrun programs
-# only); override with UAV_TEST_CACHE.
-_cache = os.environ.get("UAV_TEST_CACHE", "/tmp/uav_test_jax_cache")
+# programs dominate the suite's wall time on this 1-core host; runs on the
+# same machine hit the cache and skip them. The default is the repo's
+# committed test cache (warmed by a full-suite run) so a fresh checkout's
+# FIRST run is already warm; override with UAV_TEST_CACHE. Deliberately NOT
+# .jax_cache (that one stays minimal — dryrun/bench programs only).
+_cache = os.environ.get(
+    "UAV_TEST_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".test_jax_cache"))
 os.makedirs(_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache)
 # Cache aggressively: the fast suite's wall time is dominated by hundreds of
