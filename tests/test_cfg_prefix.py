@@ -34,6 +34,7 @@ def _unet_and_params(cfg=TINY, seed=0):
 
 
 @pytest.mark.parametrize("n", [1, 2])
+@pytest.mark.slow
 def test_cfg_dup_equals_duplicated_batch(n):
     cfg = TINY
     unet, params = _unet_and_params()
@@ -51,6 +52,7 @@ def test_cfg_dup_equals_duplicated_batch(n):
                                rtol=3e-5, atol=3e-5)
 
 
+@pytest.mark.slow
 def test_cfg_dup_first_block_crossattn_still_exact():
     """A config whose FIRST down block is cross-attention (tile happens
     immediately; zero savings but must stay correct)."""
@@ -69,6 +71,7 @@ def test_cfg_dup_first_block_crossattn_still_exact():
                                rtol=3e-5, atol=3e-5)
 
 
+@pytest.mark.slow
 def test_cfg_dup_with_pab_cache_matches():
     """cfg_dup composes with the PAB attention cache (cache collected on the
     post-duplication batch): outputs and cache leaves match the duplicated
@@ -154,6 +157,7 @@ def _tiny_pipeline(cfg_prefix_share: bool):
                                 cfg_prefix_share=cfg_prefix_share)
 
 
+@pytest.mark.slow
 def test_pipeline_share_with_window_groups(monkeypatch):
     """share composes with grouped windows (lax.map branch): T=20 → 4
     windows in groups of 2; share on == share off."""
@@ -174,6 +178,7 @@ def test_pipeline_share_with_window_groups(monkeypatch):
     np.testing.assert_allclose(outs[True], outs[False], rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pipeline_share_on_off_identical(monkeypatch):
     """Full pipeline with cfg_prefix_share on vs off: same outputs
     (identical init keys ⇒ identical params ⇒ the only difference is the

@@ -25,6 +25,7 @@ def torch_clip():
     return model, cfg
 
 
+@pytest.mark.slow
 def test_matches_transformers(torch_clip):
     import torch
 

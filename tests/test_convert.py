@@ -165,6 +165,7 @@ class TestTransposes:
     ],
     ids=["unet", "vae", "clip"],
 )
+@pytest.mark.slow
 def test_roundtrip(model_fn):
     model, renames = model_fn()
     key = jax.random.PRNGKey(0)

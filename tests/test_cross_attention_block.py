@@ -85,6 +85,7 @@ def _repeated_ctx(key):
 
 
 @pytest.mark.parametrize("only_cross", [True, False])
+@pytest.mark.slow
 def test_block_fused_branch_tree_and_output(monkeypatch, only_cross):
     """Forcing the fused branch on CPU (reference math inside): identical
     param tree + matching outputs vs the unfused module path."""
@@ -108,6 +109,7 @@ def test_block_fused_branch_tree_and_output(monkeypatch, only_cross):
                                atol=5e-5, rtol=5e-5)
 
 
+@pytest.mark.slow
 def test_block_fused_gradients(monkeypatch):
     monkeypatch.setenv("UAV_FORCE_FUSED_CROSS", "1")
     blk = _tiny_block(True)

@@ -33,6 +33,7 @@ def _run_distributed(x, ff, fb, n_dev, **kw):
 
 
 @pytest.mark.parametrize("n_dev,t", [(2, 8), (4, 8), (8, 16), (8, 8)])
+@pytest.mark.slow
 def test_matches_serial_exactly(n_dev, t):
     k = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(k, 3)

@@ -42,6 +42,7 @@ def modules():
     )
 
 
+@pytest.mark.slow
 def test_sharded_pipeline_matches_single(modules, monkeypatch):
     # Pin f32 operand storage in the VAE mid attention: sharded-vs-
     # single latent noise (~1e-6) can straddle a bf16 rounding boundary
@@ -68,6 +69,7 @@ def test_sharded_pipeline_matches_single(modules, monkeypatch):
                                atol=5e-5, rtol=5e-5)
 
 
+@pytest.mark.slow
 def test_sharded_pipeline_with_propagation(modules, monkeypatch):
     monkeypatch.setenv("UAV_VAE_ATTN_F32", "1")  # see first test
     mesh = Mesh(np.asarray(jax.devices()[:4]), ("win",))
@@ -92,6 +94,7 @@ def test_sharded_pipeline_with_propagation(modules, monkeypatch):
                                atol=5e-5, rtol=5e-5)
 
 
+@pytest.mark.slow
 def test_sharded_pipeline_pab_matches_single_pab(modules, monkeypatch):
     """Drop-in sharded pipeline with PABConfig == single-chip pipeline with
     the same PABConfig (multi-chip PAB wired through _build_denoise)."""

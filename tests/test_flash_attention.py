@@ -80,6 +80,7 @@ def test_short_kv_and_padded_head_dim():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)
 
 
+@pytest.mark.slow
 def test_flash_grad_matches_xla():
     """custom_vjp: grads through the flash path equal XLA-attention grads."""
     import numpy as np

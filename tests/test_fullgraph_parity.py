@@ -98,6 +98,7 @@ def _convert(template, torch_module, renames=None):
     return params
 
 
+@pytest.mark.slow
 def test_unet_fullgraph_parity(ref_models):
     ref_unet, _, _ = ref_models
     from upscale_a_video_tpu.config import UNetVideoConfig
@@ -141,6 +142,7 @@ def test_unet_fullgraph_parity(ref_models):
     (TINY_VAE_3D, False),
     (TINY_VAE_VIDEO, True),
 ])
+@pytest.mark.slow
 def test_vae_fullgraph_parity(ref_models, vae_cfg, conditioned, monkeypatch):
     # Pin f32 operand storage in the mid attention: the torch shim computes
     # f32 attention, and this test checks the MATH (graph/weights/wiring).

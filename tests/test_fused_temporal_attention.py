@@ -27,6 +27,7 @@ def _mk(b, s, h, d, seed=0, bias=True):
 
 @pytest.mark.parametrize("b,s,h,d", [(512, 8, 8, 64), (520, 8, 4, 64),
                                      (512, 16, 2, 128), (513, 8, 8, 64)])
+@pytest.mark.slow
 def test_kernel_matches_reference(b, s, h, d):
     q, k, v, bias = _mk(b, s, h, d)
     want = _reference(q, k, v, bias)
@@ -45,6 +46,7 @@ def test_kernel_no_bias():
                                atol=2e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_grads_match_reference():
     q, k, v, bias = _mk(256, 8, 4, 64, seed=3)
     cot = jax.random.normal(jax.random.PRNGKey(9), q.shape)

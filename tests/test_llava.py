@@ -1,6 +1,8 @@
 """JAX LLaVA captioner on tiny configs: vision tower shapes, decoder KV-cache
 consistency (prefill+decode == full forward), multimodal splice, sampling."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -41,6 +43,7 @@ class TestVisionTower:
 
 
 class TestLlamaKVCache:
+    @pytest.mark.slow
     def test_incremental_matches_full(self):
         cfg = TINY_TEXT
         model = LlamaForCausalLM(cfg)

@@ -20,6 +20,7 @@ from upscale_a_video_tpu.models.llava.llama import (
 from upscale_a_video_tpu.utils.convert import convert_state_dict
 
 
+@pytest.mark.slow
 def test_llama_logits_match_transformers():
     import torch
     import transformers

@@ -84,6 +84,7 @@ def test_lpips_alex_parity():
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_lpips_vgg_builds():
     """VGG16 variant: tap shapes/channels and converter key schema."""
     model = LPIPS(net="vgg")
@@ -98,6 +99,7 @@ def test_lpips_vgg_builds():
         assert params["params"][f"lin{i}"].shape == (c,)
 
 
+@pytest.mark.slow
 def test_lpips_properties():
     """d(x, x) == 0; d symmetric-ish; d > 0 for different inputs."""
     model = LPIPS(net="alex")

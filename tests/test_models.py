@@ -58,6 +58,7 @@ class TestUNet:
         assert out.shape == (1, 4, 16, 16, 4)
         assert np.isfinite(np.asarray(out)).all()
 
+    @pytest.mark.slow
     def test_forward_non_divisible_by_8(self, unet_and_params):
         # H=W=12 exercises the upsample-size forcing path (ref unet_video.py:433-443)
         model, params = unet_and_params
@@ -68,6 +69,7 @@ class TestUNet:
         assert out.shape == (1, 4, 12, 12, 4)
         assert np.isfinite(np.asarray(out)).all()
 
+    @pytest.mark.slow
     def test_timestep_changes_output(self, unet_and_params):
         model, params = unet_and_params
         sample = jax.random.normal(jax.random.PRNGKey(7), (1, 4, 16, 16, 4))
@@ -77,6 +79,7 @@ class TestUNet:
         b = model.apply(params, sample, 900, low_res, ctx, 20)
         assert not np.allclose(np.asarray(a), np.asarray(b))
 
+    @pytest.mark.slow
     def test_noise_level_changes_output(self, unet_and_params):
         model, params = unet_and_params
         sample = jax.random.normal(jax.random.PRNGKey(8), (1, 4, 16, 16, 4))
@@ -170,6 +173,7 @@ class TestVaeVideo:
 
 
 class TestRemat:
+    @pytest.mark.slow
     def test_remat_same_output_and_grads_work(self):
         model = UNetVideoModel(TINY_UNET)
         model_r = UNetVideoModel(TINY_UNET, use_remat=True)

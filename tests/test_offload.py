@@ -1,5 +1,7 @@
 """Model-offload hooks: same outputs, params staged per stage."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -37,6 +39,7 @@ def _build():
     return VideoUpscalePipeline(modules, dtype=jnp.float32)
 
 
+@pytest.mark.slow
 def test_offload_same_output():
     img = jax.random.uniform(jax.random.PRNGKey(3), (1, 2, 8, 8, 3),
                              minval=-1, maxval=1)

@@ -54,6 +54,7 @@ def modules():
 
 
 class TestUnetCacheAPI:
+    @pytest.mark.slow
     def test_collect_then_reuse(self, modules):
         unet, params = modules.unet, modules.unet_params
         lat = jax.random.normal(jax.random.PRNGKey(3), (1, 2, 8, 8, 4))
@@ -99,6 +100,7 @@ class TestPabPipeline:
                 noise_level=20, key=key)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
+    @pytest.mark.slow
     def test_broadcast_matches_manual_loop(self, modules):
         unet, params = modules.unet, modules.unet_params
         sched = modules.scheduler

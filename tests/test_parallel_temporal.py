@@ -27,6 +27,7 @@ def make_window_fn(key, window=8, cin=3, cout=2):
 
 
 @pytest.mark.parametrize("n_dev,t_local", [(2, 12), (4, 12), (8, 12), (2, 24)])
+@pytest.mark.slow
 def test_sharded_matches_serial(n_dev, t_local):
     devices = jax.devices()[:n_dev]
     mesh = Mesh(np.asarray(devices), ("time",))

@@ -61,6 +61,7 @@ def tiny_pipeline():
     return VideoUpscalePipeline(modules, dtype=jnp.float32)
 
 
+@pytest.mark.slow
 def test_short_clip_no_cfg(tiny_pipeline):
     img = jax.random.uniform(jax.random.PRNGKey(1), (1, 4, 16, 16, 3), minval=-1, maxval=1)
     out = tiny_pipeline("a cat", img, num_inference_steps=3, guidance_scale=1.0,
@@ -70,6 +71,7 @@ def test_short_clip_no_cfg(tiny_pipeline):
     assert float(jnp.max(jnp.abs(out))) <= 1.0 + 1e-6
 
 
+@pytest.mark.slow
 def test_windowed_cfg(tiny_pipeline):
     # 10 frames > window 8 → 2 windows with overlap blending
     img = jax.random.uniform(jax.random.PRNGKey(2), (1, 10, 16, 16, 3), minval=-1, maxval=1)
@@ -79,6 +81,7 @@ def test_windowed_cfg(tiny_pipeline):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_propagation_path(tiny_pipeline):
     img = jax.random.uniform(jax.random.PRNGKey(3), (1, 4, 16, 16, 3), minval=-1, maxval=1)
     flows_f = jnp.zeros((1, 3, 16, 16, 2))
@@ -90,6 +93,7 @@ def test_propagation_path(tiny_pipeline):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_deterministic_given_key(tiny_pipeline):
     img = jax.random.uniform(jax.random.PRNGKey(4), (1, 4, 16, 16, 3), minval=-1, maxval=1)
     a = tiny_pipeline("d", img, num_inference_steps=2, guidance_scale=1.0,

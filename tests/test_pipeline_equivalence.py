@@ -78,6 +78,7 @@ def naive_reference(pipe, unet, unet_params, sched, lrs, image, prompt_embeds,
 
 
 @pytest.mark.parametrize("guidance", [1.0, 4.0])
+@pytest.mark.slow
 def test_scan_matches_naive_loop(setup, guidance):
     pipe, unet, unet_params, sched, lrs = setup
     image = jax.random.uniform(jax.random.PRNGKey(5), (1, 4, 8, 8, 3),
@@ -101,6 +102,7 @@ def _clone_pipe(pipe, **kw):
 
 
 @pytest.mark.parametrize("guidance", [1.0, 4.0])
+@pytest.mark.slow
 def test_host_step_mode_matches_scan(setup, guidance):
     """step_mode='host' (one jitted step, host loop) must be numerically
     identical to the one-dispatch lax.scan path — incl. windows (T=10 > 8)
@@ -120,6 +122,7 @@ def test_host_step_mode_matches_scan(setup, guidance):
                                atol=5e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_host_step_mode_matches_scan_pab(setup):
     """Host stepping with a PAB cache carried across host-side steps must
     match the scan-carried cache exactly."""
@@ -145,6 +148,7 @@ def test_step_mode_validation(setup):
         VideoUpscalePipeline(pipe.m, step_mode="bogus")
 
 
+@pytest.mark.slow
 def test_duplicate_tail_window_dedup_matches_naive(setup):
     """T=14 (starts 0,6,6 — duplicate right-aligned tail): the deduplicated
     window plan must still reproduce the reference's sequential loop, which

@@ -2,6 +2,8 @@
 init: DCN offsets come only from flow; output differs from input only through
 the residual fuse path)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -9,6 +11,7 @@ import numpy as np
 from upscale_a_video_tpu.models.propagation_learnable import LearnablePropagation
 
 
+@pytest.mark.slow
 def test_forward_shapes():
     model = LearnablePropagation(in_channels=4, mid_channels=8, num_blocks=1)
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8, 4))
@@ -20,6 +23,7 @@ def test_forward_shapes():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_residual_structure():
     # with all-zero input features the residual output must be finite and
     # flow-independent differences bounded
@@ -31,6 +35,7 @@ def test_residual_structure():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_jit_compiles():
     model = LearnablePropagation(in_channels=4, mid_channels=8, num_blocks=1)
     x = jax.random.normal(jax.random.PRNGKey(4), (1, 3, 8, 8, 4))

@@ -7,6 +7,8 @@
 - captioner path: quantized=True generates tokens end to end
 """
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -95,6 +97,7 @@ class TestQuantizeTree:
 
 
 class TestLlamaQuantized:
+    @pytest.mark.slow
     def test_logits_close_and_generate_runs(self):
         from tests.test_llava import TINY_TEXT, TINY_VISION
         from upscale_a_video_tpu.models.llava.llava import (

@@ -2,6 +2,8 @@
 torch reimplementations of the published formulas (RAFT/corr.py, raft.py:73-84);
 shape/finiteness for the full model."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -123,6 +125,7 @@ class TestUpsampleFlow:
 
 
 class TestFullModel:
+    @pytest.mark.slow
     def test_shapes_and_finite(self):
         runner = load_raft(None, iters=2)
         frames = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, 32, 32, 3),

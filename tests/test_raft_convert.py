@@ -1,5 +1,7 @@
 """RAFT checkpoint mapping round-trip (same strategy as test_convert.py)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -49,6 +51,7 @@ def test_key_spot_checks():
     )
 
 
+@pytest.mark.slow
 def test_roundtrip():
     model = RAFT()
     dummy = jnp.zeros((1, 32, 32, 3))

@@ -1,5 +1,7 @@
 """RAFT small=True variant: shape/finiteness."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -7,6 +9,7 @@ import numpy as np
 from upscale_a_video_tpu.models.raft import RAFT
 
 
+@pytest.mark.slow
 def test_small_variant_forward():
     model = RAFT(small=True)
     i1 = jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 32, 3), minval=-1, maxval=1)

@@ -41,6 +41,7 @@ class TestFullUNet:
             jnp.zeros((1, 77, 1024), jnp.bfloat16), 0,
         )
 
+    @pytest.mark.slow
     def test_param_count_in_expected_range(self, shapes):
         n = count_params(shapes["params"])
         # SD x4-upscaler UNet is ~473M; temporal additions push it higher

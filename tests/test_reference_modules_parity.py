@@ -41,6 +41,7 @@ class TestRaft:
     the VSR path, raft_bi.py:25) vs the reference models_video/RAFT/raft.py,
     weights converted via RAFT_RENAMES."""
 
+    @pytest.mark.slow
     def test_flow_matches_reference(self):
         from models_video.RAFT.raft import RAFT as RefRAFT
 

@@ -40,6 +40,7 @@ def serial_decode(vae, params, latents, image_dec, chunk=3, w_lr=1.0):
     (TINY_COND, 7, 4),   # conditioned decoder + tail chunk of 1
     (TINY, 2, 4),        # clip shorter than one chunk
 ])
+@pytest.mark.slow
 def test_sharded_decode_matches_serial(cfg, t, n_dev):
     vae = AutoencoderKLVideo(cfg)
     b, h, w = 1, 8, 8

@@ -32,6 +32,7 @@ def setup():
 
 
 @pytest.mark.parametrize("n_dev,guidance", [(2, 1.0), (4, 3.0)])
+@pytest.mark.slow
 def test_sharded_matches_serial(setup, n_dev, guidance):
     unet, params, sched = setup
     mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("time",))
@@ -83,6 +84,7 @@ def test_sharded_matches_serial(setup, n_dev, guidance):
     np.testing.assert_allclose(np.asarray(got), want, atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_sharded_pab_matches_serial(setup):
     """PAB caches ride the sharded scan chip-locally; result must equal a
     serial loop threading one cache per global window."""
@@ -126,6 +128,7 @@ def test_sharded_pab_matches_serial(setup):
     np.testing.assert_allclose(np.asarray(got), want, atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_sharded_propagation_matches_serial(setup):
     """Distributed propagation (all-gather + replicated recurrence + slice)
     must equal the serial plan bit-for-bit semantics."""

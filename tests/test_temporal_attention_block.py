@@ -18,6 +18,7 @@ BT, S, C, T = 8, 64, 128, 4
 HEADS, D = 2, 64
 
 
+@pytest.mark.slow
 def test_reference_matches_module_chain():
     """_reference == the module path (transpose → LN → TemporalAttention →
     transpose back) with identical weights."""
@@ -69,6 +70,7 @@ def test_fits_gate():
     assert not temporal_attention_block_fits((16, 16384, 512), 8, 16)  # D%64
 
 
+@pytest.mark.slow
 def test_block_fused_temporal_tree_and_output(monkeypatch):
     """Forced fused branch on CPU (reference math inside): identical param
     tree + matching outputs vs the unfused module path."""
@@ -100,6 +102,7 @@ def test_block_fused_temporal_tree_and_output(monkeypatch):
                                atol=5e-5, rtol=5e-5)
 
 
+@pytest.mark.slow
 def test_block_fused_temporal_gradients(monkeypatch):
     monkeypatch.setenv("UAV_FORCE_FUSED_TEMPORAL", "1")
     monkeypatch.setenv("UAV_FORCE_FUSED_FF", "1")

@@ -96,6 +96,7 @@ class TestModules:
         # alpha zero-init → identity at init (ref :596,623)
         np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
 
+    @pytest.mark.slow
     def test_full_temporal_transformer(self):
         model = TemporalTransformer3DModel(
             heads=2, dim_head=4, in_channels=8, norm_num_groups=4,

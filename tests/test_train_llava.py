@@ -1,6 +1,8 @@
 """Captioner finetuning (ref llava/train/train.py): label splicing/masking,
 loss decreases under both the frozen-vision full step and the LoRA step."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -67,6 +69,7 @@ def test_splice_labels_masks_prompt_and_image():
         assert (lab[:, j - 1 + N_PATCH] == ids[:, j]).all()
 
 
+@pytest.mark.slow
 def test_full_step_decreases_loss_and_freezes_vision():
     model, params = _model_params()
     base = params["params"]

@@ -1,6 +1,8 @@
 """Training-step tests: UNet denoising loss with temporal-only freezing, VAE
 GAN losses, LR schedules."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -46,6 +48,7 @@ class TestUNetTraining:
         assert all("conv_in" not in "/".join(p) for p in marked)
         assert any("conv_in" in "/".join(p) for p in unmarked)
 
+    @pytest.mark.slow
     def test_train_step_updates_only_temporal(self):
         model = UNetVideoModel(TINY)
         params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 8, 8, 4)), 0,
@@ -77,6 +80,7 @@ class TestUNetTraining:
 
 
 class TestVaeGAN:
+    @pytest.mark.slow
     def test_generator_and_disc_losses(self):
         cfg = VaeConfig(block_out_channels=(8, 16, 16), norm_num_groups=4,
                         up_block_types=("UpDecoderBlock3D_plus",) * 3,
@@ -101,6 +105,7 @@ class TestVaeGAN:
         assert np.isfinite(float(d_loss))
         assert recon.shape == gts.shape
 
+    @pytest.mark.slow
     def test_disc_grad_does_not_touch_vae(self):
         cfg = VaeConfig(block_out_channels=(8, 16, 16), norm_num_groups=4)
         vae = AutoencoderKLVideo(cfg)

@@ -76,6 +76,7 @@ def serial_denoise(unet, params, sched, steps, guidance, latents0,
     (4, 20, 3.0),   # uneven windows vs devices (padding path)
     (8, 5, 1.0),    # clip shorter than the window
 ])
+@pytest.mark.slow
 def test_window_sharded_matches_serial(setup, n_dev, t, guidance):
     unet, params, sched = setup
     mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("win",))
@@ -97,6 +98,7 @@ def test_window_sharded_matches_serial(setup, n_dev, t, guidance):
     np.testing.assert_allclose(np.asarray(got), want, atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_window_sharded_with_propagation(setup):
     unet, params, sched = setup
     n_dev, steps, t, b = 8, 3, 32, 1
@@ -119,6 +121,7 @@ def test_window_sharded_with_propagation(setup):
     np.testing.assert_allclose(np.asarray(got), want, atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_window_sharded_batch2(setup):
     """Multiple clips in one sharded program (batched YouHQ40 eval)."""
     unet, params, sched = setup
@@ -199,6 +202,7 @@ def single_chip_pab_denoise(unet, params, sched, steps, guidance, latents0,
                                                  # the multi-chip payoff mode
     (("cross",), ("down_0",)),                   # restricted single-chip mode
 ])
+@pytest.mark.slow
 def test_window_sharded_pab_matches_single_chip(setup, kinds, skip):
     """Multi-chip PAB ≡ single-chip PAB (NOT ≡ exact — PAB approximates):
     each chip caches only its items' attention deltas, and the static
