@@ -79,3 +79,25 @@ def test_adain_transfers_stats():
     np.testing.assert_allclose(
         out.std(axis=(1, 2)), np.asarray(style).std(axis=(1, 2)), atol=1e-3
     )
+
+
+def test_apply_color_fix_chunked_matches_single_call():
+    """Frame-chunked apply_color_fix (CLI/serving path; bounds device
+    transients at large output geometries) is exact vs the one-shot form —
+    both fixes are per-frame, so chunk boundaries cannot change the math."""
+    from upscale_a_video_tpu.ops.resize import resize_2d
+    from upscale_a_video_tpu.pipeline.color import apply_color_fix
+
+    rng = np.random.RandomState(3)
+    t, h, w = 7, 12, 16  # 7 frames: chunk=4 exercises a ragged tail chunk
+    lr = (rng.rand(t, h, w, 3).astype(np.float32) - 0.5) * 2
+    out = (rng.rand(t, h * 4, w * 4, 3).astype(np.float32) - 0.5) * 2
+
+    style = resize_2d(jnp.asarray(lr), (h * 4, w * 4), "bicubic")
+    for mode, fix in (("AdaIn", adain_color_fix), ("Wavelet", wavelet_color_fix)):
+        want = np.asarray(fix(jnp.asarray(out), style))
+        got = apply_color_fix(mode, out, lr, chunk_frames=4)
+        np.testing.assert_allclose(got, want, atol=2e-5, err_msg=mode)
+
+    # unknown mode passes through unchanged
+    np.testing.assert_array_equal(apply_color_fix("None", out, lr), out)

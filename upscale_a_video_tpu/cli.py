@@ -116,7 +116,7 @@ def run(args) -> None:
 
     from .models.raft import load_raft, compute_bidirectional_flows
     from .ops.resize import resize_2d
-    from .pipeline.color import adain_color_fix, wavelet_color_fix
+    from .pipeline.color import apply_color_fix
     from .pipeline.loader import load_pipeline
     from .pipeline.tiling import needs_tiling, plan_tiles
     from .utils import video_io
@@ -244,9 +244,9 @@ def run(args) -> None:
             output = np.asarray(pipeline(prompt, video, flows_bi=flows_bi, **common))
 
         if args.color_fix in ("AdaIn", "Wavelet"):
-            style = resize_2d(video[0], (h * 4, w * 4), "bicubic")  # (T,4H,4W,3)
-            fix = adain_color_fix if args.color_fix == "AdaIn" else wavelet_color_fix
-            output = np.asarray(fix(jnp.asarray(output[0]), style))[None]
+            # frame-chunked: the single-call form OOMs the chip at large
+            # output geometries (apply_color_fix docstring)
+            output = apply_color_fix(args.color_fix, output[0], video[0])[None]
 
         run_time = time.time() - start_time
 

@@ -83,3 +83,40 @@ def wavelet_color_fix(content: jax.Array, style: jax.Array) -> jax.Array:
     content_high, _ = wavelet_decomposition(content)
     _, style_low = wavelet_decomposition(style)
     return content_high + style_low
+
+
+def apply_color_fix(mode: str, output, lr, chunk_frames: int = 4):
+    """Upsample the LR style reference and apply the selected fix,
+    ``chunk_frames`` frames per device dispatch.
+
+    Both fixes are per-frame (AdaIN stats reduce over H,W per frame; the
+    wavelet blur is a per-frame depthwise conv — ref color_correction.py:
+    44-119 is framewise too), so chunking is exact. The single-call form
+    holds ~6 live copies of the full (T, 4H, 4W, 3) fp32 clip on top of the
+    resident model params — at 27×1408×1920 that RESOURCE_EXHAUSTEDs a
+    15.75 GB chip; chunked, the transient is bounded by ``chunk_frames``.
+
+    output: (T, 4H, 4W, C) upscaled frames, model range (host or device).
+    lr:     (T, H, W, C) low-res input frames, model range.
+    Returns an np.ndarray of ``output``'s shape (fp32 on host).
+    """
+    import numpy as np
+
+    from ..ops.resize import resize_2d
+
+    if mode not in ("AdaIn", "Wavelet"):
+        return np.asarray(output)
+    fix = adain_color_fix if mode == "AdaIn" else wavelet_color_fix
+    t = output.shape[0]
+    oh, ow = output.shape[1], output.shape[2]
+
+    @jax.jit
+    def _fix_chunk(content, style_lr):
+        return fix(content, resize_2d(style_lr, (oh, ow), "bicubic"))
+
+    fixed = np.empty(output.shape, np.float32)
+    for s0 in range(0, t, chunk_frames):
+        sl = slice(s0, min(s0 + chunk_frames, t))
+        fixed[sl] = np.asarray(
+            _fix_chunk(jnp.asarray(output[sl]), jnp.asarray(lr[sl])))
+    return fixed

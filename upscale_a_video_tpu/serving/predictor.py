@@ -81,7 +81,6 @@ class Predictor:
         import jax.numpy as jnp
 
         from ..ops.resize import resize_2d
-        from ..pipeline.color import adain_color_fix, wavelet_color_fix
         from ..pipeline.tiling import needs_tiling, plan_tiles
         from ..utils import video_io
 
@@ -140,10 +139,7 @@ class Predictor:
                   tile_size, progress_cb=None):
         """Tile loop + pipeline call + color fix for one clip
         (ref inference_upscale_a_video.py:200-331). video: (1,T,H,W,3)."""
-        import jax.numpy as jnp
-
-        from ..ops.resize import resize_2d
-        from ..pipeline.color import adain_color_fix, wavelet_color_fix
+        from ..pipeline.color import apply_color_fix
         from ..pipeline.tiling import needs_tiling, plan_tiles
 
         t = video.shape[1]
@@ -172,9 +168,9 @@ class Predictor:
                 **common))
 
         if color_fix in ("AdaIn", "Wavelet"):
-            style = resize_2d(video[0], (h * 4, w * 4), "bicubic")
-            fix = adain_color_fix if color_fix == "AdaIn" else wavelet_color_fix
-            output = np.asarray(fix(jnp.asarray(output[0]), style))[None]
+            # frame-chunked: the single-call form OOMs the chip at large
+            # output geometries (apply_color_fix docstring)
+            output = apply_color_fix(color_fix, output[0], video[0])[None]
         return output
 
     def _predict_streaming(self, video_path, output_path, noise_level,
